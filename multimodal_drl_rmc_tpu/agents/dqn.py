@@ -1,0 +1,205 @@
+"""Device-resident DQN-family learner.
+
+The reference's agent zoo (dqn/agent.py:150-321 — SimpleAgent / DoubleAgent /
+PerDoubleAgent x {plain, dueling} networks) collapses here into one factory,
+``make_learner``, that closes over a ``Config`` and returns pure jitted
+functions over an explicit ``TrainState``:
+
+  * ``select_actions(state, obs, rng)``   — epsilon-greedy on device
+                                            (reference agent.py:92-99)
+  * ``train_step(state, buffer, rng)``    — sample + TD loss + Adam + target
+                                            update, one fused jit
+                                            (reference agent.py:166-272)
+  * ``insert(buffer, batch)``             — HBM ring-buffer append
+  * ``train_many(state, buffer, rng, k)`` — lax.scan over k train steps, for
+                                            replay-ratio > 1 and benchmarks
+
+Buffer and state are donated, so the 100k-1M-transition replay never copies.
+Epsilon/target schedules are pure functions of ``state.step`` with the same
+``n_env`` scaling as the reference (agent.py:88-90,102,108).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.networks import build_network, greedy_fn, init_params
+from ..ops import replay
+from ..ops.losses import Batch, beta_schedule, dqn_loss, epsilon_schedule, polyak_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    target_params: Any
+    opt_state: Any
+    step: jax.Array           # [] int32 — agent steps (learn calls)
+    episode_count: jax.Array  # [] int32
+
+
+class Metrics(NamedTuple):
+    loss: jax.Array
+    mean_q: jax.Array
+    epsilon: jax.Array
+
+
+ALGO_FLAGS = {
+    # algo name (reference agent.py:275-321) -> (double, dueling, per)
+    "DQNAgent": (False, False, False),
+    "DoubleDQNAgent": (True, False, False),
+    "DuelingDoubleDQNAgent": (True, True, False),
+    "PerDuelingDoubleDQNAgent": (True, True, True),
+}
+
+
+class DQNLearner(NamedTuple):
+    """Bundle of pure functions + static metadata for one algo/config."""
+
+    cfg: Config
+    net: Any
+    init_state: Any          # (rng) -> TrainState
+    init_buffer: Any         # () -> ReplayData | PerReplayData
+    select_actions: Any      # (state, obs[B,D], rng) -> actions[B]
+    greedy_actions: Any      # (params, obs[B,D]) -> actions[B]
+    insert: Any              # (buffer, batch) -> buffer
+    train_step: Any          # (state, buffer, rng) -> (state, buffer, Metrics)
+    train_many: Any          # (state, buffer, rng, k:int static) -> (state, buffer, Metrics)
+    is_per: bool
+    apply_fn: Any
+
+
+def make_learner(cfg: Config) -> DQNLearner:
+    hp = cfg.hp
+    double, dueling, per = ALGO_FLAGS[hp.algo]
+    spec = cfg.net
+    if spec.dueling != dueling:
+        spec = type(spec)(**{**spec.__dict__, "dueling": dueling})
+
+    n_actions = cfg.env.n_actions
+    obs_size = cfg.env.obs_size
+    net = build_network(spec, n_actions)
+    apply_fn = lambda params, x: net.apply(params, x)
+    greedy = greedy_fn(net)
+
+    tx = optax.adam(hp.lr, b1=0.9, b2=0.999, eps=1e-8)
+    obs_dtype = jnp.dtype(hp.obs_dtype)
+    gamma_n = hp.gamma ** hp.n_step
+
+    def init_state(rng: jax.Array) -> TrainState:
+        params = init_params(net, obs_size, rng)
+        return TrainState(
+            params=params,
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            episode_count=jnp.zeros((), jnp.int32),
+        )
+
+    def init_buffer():
+        if per:
+            return replay.init_per(hp.max_mem, obs_size, obs_dtype)
+        return replay.init(hp.max_mem, obs_size, obs_dtype)
+
+    @jax.jit
+    def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
+        eps = epsilon_schedule(
+            state.step.astype(jnp.float32), hp.n_env,
+            hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
+        )
+        rng_u, rng_a = jax.random.split(rng)
+        greedy_a = greedy(state.params, obs)
+        rand_a = jax.random.randint(rng_a, greedy_a.shape, 0, n_actions)
+        explore = jax.random.uniform(rng_u, greedy_a.shape) <= eps
+        return jnp.where(explore, rand_a, greedy_a)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def insert(buffer, batch: Batch):
+        if per:
+            return replay.per_insert(buffer, batch, hp.per_max_priority)
+        return replay.insert(buffer, batch)
+
+    def _one_step(state: TrainState, buffer, rng: jax.Array):
+        if per:
+            beta = beta_schedule(
+                state.step * hp.n_env, hp.per_beta_start, hp.per_beta_end, hp.eps_dec
+            )
+            samp = replay.per_sample(buffer, rng, hp.batch_size, beta)
+            batch, is_w = samp.batch, samp.is_weights
+        else:
+            batch = replay.sample_uniform(buffer, rng, hp.batch_size)
+            is_w = None
+
+        def loss_fn(params):
+            return dqn_loss(
+                apply_fn, params, state.target_params, batch, gamma_n,
+                double=double, is_weights=is_w,
+            )
+
+        (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        step = state.step + 1
+        if hp.target_soft_update:
+            # tau scaled by n_env, matching reference agent.py:105-110.
+            target_params = polyak_update(
+                state.target_params, params, hp.target_soft_update_tau * hp.n_env
+            )
+        else:
+            k = max(hp.target_update_freq // hp.n_env, 1)
+            target_params = jax.tree_util.tree_map(
+                lambda t, o: jnp.where(step % k == 0, o, t),
+                state.target_params, params,
+            )
+
+        if per:
+            buffer = replay.per_update_priorities(
+                buffer, samp.leaf_idx, abs_td,
+                epsilon=hp.per_epsilon, alpha=hp.per_alpha,
+                max_priority=hp.per_max_priority,
+            )
+
+        new_state = TrainState(params, target_params, opt_state, step, state.episode_count)
+        eps = epsilon_schedule(
+            step.astype(jnp.float32), hp.n_env,
+            hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
+        )
+        metrics = Metrics(loss=loss, mean_q=jnp.mean(abs_td), epsilon=eps)
+        return new_state, buffer, metrics
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state, buffer, rng):
+        return _one_step(state, buffer, rng)
+
+    @functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
+    def train_many(state, buffer, rng, k: int):
+        """k sequential learner updates fully on device (replay-ratio control)."""
+
+        def body(carry, key):
+            st_, buf_ = carry
+            st_, buf_, m = _one_step(st_, buf_, key)
+            return (st_, buf_), m
+
+        keys = jax.random.split(rng, k)
+        (state, buffer), ms = jax.lax.scan(body, (state, buffer), keys)
+        last = jax.tree_util.tree_map(lambda x: x[-1], ms)
+        return state, buffer, last
+
+    return DQNLearner(
+        cfg=cfg,
+        net=net,
+        init_state=init_state,
+        init_buffer=init_buffer,
+        select_actions=select_actions,
+        greedy_actions=jax.jit(greedy),
+        insert=insert,
+        train_step=train_step,
+        train_many=train_many,
+        is_per=per,
+        apply_fn=apply_fn,
+    )

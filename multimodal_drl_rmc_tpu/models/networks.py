@@ -1,0 +1,180 @@
+"""Q-networks as Flax modules, TPU-first.
+
+Covers the reference's network zoo:
+  * ``DeepQNetwork``/``DuelingDeepQNetwork`` heads (dqn/network.py:50-117)
+  * ``TwoStreamHybridNetwork`` trunk (env/dqn_config.py:66-143)
+  * macro-variant MLP trunk ('macro with lane/dqn_config.py':60-105)
+
+Design notes (TPU):
+  * Convolutions run in NHWC (XLA's native TPU layout); the flat observation
+    stores the grid in the reference's CHW order, so we reshape then transpose
+    once — XLA fuses this into the producing op.
+  * Everything is a pure function of (params, obs); no device state.
+  * The dueling aggregate Q = V + (A - mean A) and greedy action selection
+    have a fused Pallas kernel in ops/pallas/dueling.py; the module exposes
+    plain-XLA versions which the agent can swap.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import NetworkSpec
+
+_ACTIVATIONS: dict = {
+    "elu": nn.elu,
+    "relu": nn.relu,
+    "gelu": nn.gelu,
+    "tanh": jnp.tanh,
+}
+
+
+def _dtype(spec: NetworkSpec):
+    return jnp.dtype(spec.dtype)
+
+
+class TwoStreamTrunk(nn.Module):
+    """CNN-over-grid + macro-vector two-stream trunk.
+
+    Mirrors env/dqn_config.py:66-143: the flat input's first ``macro_len``
+    entries are the macro vector; the rest is the (C, H, W) CV grid. The CNN
+    is Conv(32,3x3,s1) -> Conv(64,3x3,s(2,1)) -> Conv(64,3x3,s(2,2)), each
+    with padding k//2 and ELU, followed by dense layers [512, 256].
+
+    The flattened CNN features are emitted in the reference's (C, H, W)
+    index order so that dense-layer weights are interchangeable with the
+    PyTorch checkpoints (models/packio.py relies on this).
+    """
+
+    spec: NetworkSpec
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        spec = self.spec
+        dt = _dtype(spec)
+        c, h, w = spec.micro_shape_chw
+        macro = x[:, : spec.macro_len].astype(dt)
+        micro = x[:, spec.macro_len :].reshape(-1, c, h, w)
+        # NCHW (storage order) -> NHWC (TPU conv layout)
+        micro = jnp.transpose(micro, (0, 2, 3, 1)).astype(dt)
+
+        act = _ACTIVATIONS[spec.activation]
+        for i, (f, k, s) in enumerate(
+            zip(spec.cnn_filters, spec.cnn_kernels, spec.cnn_strides)
+        ):
+            pad = ((k[0] // 2, k[0] // 2), (k[1] // 2, k[1] // 2))
+            micro = nn.Conv(
+                features=f,
+                kernel_size=tuple(k),
+                strides=tuple(s),
+                padding=pad,
+                dtype=dt,
+                name=f"conv_{i}",
+            )(micro)
+            micro = act(micro)
+
+        # Flatten in CHW order for checkpoint parity with the reference's
+        # torch .flatten(start_dim=1) on NCHW tensors.
+        micro = jnp.transpose(micro, (0, 3, 1, 2))  # NHWC -> NCHW
+        micro_flat = micro.reshape(micro.shape[0], -1)
+
+        feat = jnp.concatenate([micro_flat, macro], axis=1)
+        for i, width in enumerate(spec.dense):
+            feat = nn.Dense(width, dtype=dt, name=f"dense_{i}")(feat)
+            feat = act(feat)
+        return feat
+
+
+class MLPTrunk(nn.Module):
+    """Plain MLP trunk for the macro-only state variants."""
+
+    spec: NetworkSpec
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dt = _dtype(self.spec)
+        act = _ACTIVATIONS[self.spec.activation]
+        feat = x.astype(dt)
+        for i, width in enumerate(self.spec.mlp_hidden):
+            feat = nn.Dense(width, dtype=dt, name=f"dense_{i}")(feat)
+            feat = act(feat)
+        return feat
+
+
+def _make_trunk(spec: NetworkSpec) -> nn.Module:
+    if spec.kind == "two_stream_hybrid":
+        return TwoStreamTrunk(spec)
+    if spec.kind == "mlp":
+        return MLPTrunk(spec)
+    raise ValueError(f"unknown network kind: {spec.kind}")
+
+
+class QNetwork(nn.Module):
+    """Single-head Q-network (reference DeepQNetwork, dqn/network.py:50-74)."""
+
+    spec: NetworkSpec
+    n_actions: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feat = _make_trunk(self.spec)(x)
+        return nn.Dense(self.n_actions, dtype=_dtype(self.spec), name="fc_out")(feat)
+
+    def greedy(self, x: jax.Array) -> jax.Array:
+        return jnp.argmax(self(x), axis=-1)
+
+
+class DuelingQNetwork(nn.Module):
+    """Dueling Q-network (reference DuelingDeepQNetwork, dqn/network.py:77-117).
+
+    ``__call__`` returns aggregated Q = V + (A - mean A); ``advantages``
+    returns the advantage head only. Greedy actions argmax advantages —
+    matching the reference's ``actions()`` which skips the value head
+    (network.py:110-117).
+    """
+
+    spec: NetworkSpec
+    n_actions: int
+
+    def setup(self):
+        self.trunk = _make_trunk(self.spec)
+        dt = _dtype(self.spec)
+        self.fc_val = nn.Dense(1, dtype=dt, name="fc_val")
+        self.fc_adv = nn.Dense(self.n_actions, dtype=dt, name="fc_adv")
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        feat = self.trunk(x)
+        val = self.fc_val(feat)
+        adv = self.fc_adv(feat)
+        return val + adv - jnp.mean(adv, axis=-1, keepdims=True)
+
+    def advantages(self, x: jax.Array) -> jax.Array:
+        return self.fc_adv(self.trunk(x))
+
+    def greedy(self, x: jax.Array) -> jax.Array:
+        return jnp.argmax(self.advantages(x), axis=-1)
+
+
+def build_network(spec: NetworkSpec, n_actions: int) -> nn.Module:
+    return (DuelingQNetwork if spec.dueling else QNetwork)(spec, n_actions)
+
+
+def init_params(net: nn.Module, obs_size: int, rng: jax.Array):
+    dummy = jnp.zeros((1, obs_size), jnp.float32)
+    return net.init(rng, dummy)
+
+
+def greedy_fn(net: nn.Module) -> Callable:
+    """Returns a pure (params, obs[B, D]) -> actions[B] function."""
+
+    if isinstance(net, DuelingQNetwork):
+        def fn(params, obs):
+            return jnp.argmax(net.apply(params, obs, method=net.advantages), axis=-1)
+    else:
+        def fn(params, obs):
+            return jnp.argmax(net.apply(params, obs), axis=-1)
+    return fn

@@ -1,0 +1,231 @@
+"""Data-parallel learner with capacity-sharded replay over a device mesh.
+
+TPU-native replacement for the reference's single-GPU learner
+(dqn/agent.py:51) scaled over ICI: parameters and optimizer state are
+replicated, the replay buffer is sharded along its capacity axis (one
+disjoint shard per ``dp`` member), each device samples its slice of the
+batch locally from its own shard, and gradients are ``pmean``-ed across the
+mesh. PER runs as *distributed PER*: each shard owns a local sum tree and
+samples/updates locally — the classic Ape-X/distributed-PER decomposition —
+so no priority traffic ever crosses chips.
+
+All cross-chip communication is the single gradient pmean (plus metric
+means), which XLA lowers to ICI all-reduces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..agents.dqn import ALGO_FLAGS, Metrics, TrainState
+from ..models.networks import build_network, greedy_fn, init_params
+from ..ops import replay
+from ..ops.losses import Batch, beta_schedule, dqn_loss, epsilon_schedule, polyak_update
+
+
+class DPLearner(NamedTuple):
+    cfg: Config
+    mesh: Mesh
+    net: Any
+    init_state: Any     # (rng) -> TrainState (replicated)
+    init_buffer: Any    # () -> sharded replay pytree
+    insert: Any         # (buffer, batch[B,...]) -> buffer   (B divisible by ndev)
+    train_step: Any     # (state, buffer, rng) -> (state, buffer, Metrics)
+    select_actions: Any
+    is_per: bool
+
+
+def make_dp_learner(cfg: Config, mesh: Mesh, axis: str = "dp") -> DPLearner:
+    hp = cfg.hp
+    double, dueling, per = ALGO_FLAGS[hp.algo]
+    spec = cfg.net
+    if spec.dueling != dueling:
+        spec = type(spec)(**{**spec.__dict__, "dueling": dueling})
+
+    ndev = mesh.shape[axis]
+    if hp.batch_size % ndev:
+        raise ValueError(f"batch_size {hp.batch_size} not divisible by mesh size {ndev}")
+    if hp.max_mem % ndev:
+        raise ValueError(f"max_mem {hp.max_mem} not divisible by mesh size {ndev}")
+    local_bs = hp.batch_size // ndev
+    local_cap = hp.max_mem // ndev
+
+    n_actions = cfg.env.n_actions
+    obs_size = cfg.env.obs_size
+    net = build_network(spec, n_actions)
+    apply_fn = lambda params, x: net.apply(params, x)
+    greedy = greedy_fn(net)
+    tx = optax.adam(hp.lr, b1=0.9, b2=0.999, eps=1e-8)
+    obs_dtype = jnp.dtype(hp.obs_dtype)
+    gamma_n = hp.gamma ** hp.n_step
+
+    rep = NamedSharding(mesh, P())
+    shard0 = NamedSharding(mesh, P(axis))
+
+    def _buffer_specs():
+        """PartitionSpecs for the replay pytree: arrays shard on capacity,
+        ptr/size are identical per shard (symmetric inserts) -> replicated."""
+        data_spec = replay.ReplayData(
+            obs=P(axis), action=P(axis), reward=P(axis), done=P(axis),
+            next_obs=P(axis), ptr=P(), size=P(),
+        )
+        if per:
+            import multimodal_drl_rmc_tpu.ops.sum_tree as st_mod  # noqa: F401
+            from ..ops.sum_tree import SumTreeState
+            return replay.PerReplayData(
+                data=data_spec,
+                tree=SumTreeState(sum_tree=P(axis), max_tree=P(axis), min_tree=P(axis)),
+            )
+        return data_spec
+
+    buf_specs = _buffer_specs()
+
+    def init_state(rng: jax.Array) -> TrainState:
+        params = init_params(net, obs_size, rng)
+        state = TrainState(
+            params=params,
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            episode_count=jnp.zeros((), jnp.int32),
+        )
+        return jax.device_put(state, rep)
+
+    def init_buffer():
+        """Each shard is an independent local buffer of capacity/ndev."""
+
+        def local_init():
+            if per:
+                return replay.init_per(local_cap, obs_size, obs_dtype)
+            return replay.init(local_cap, obs_size, obs_dtype)
+
+        shards = jax.eval_shape(local_init)
+
+        def alloc(shape_dtype, spec_leaf):
+            shape = list(shape_dtype.shape)
+            if spec_leaf == P(axis):
+                shape[0] *= ndev
+            return jax.device_put(
+                jnp.zeros(shape, shape_dtype.dtype), NamedSharding(mesh, spec_leaf)
+            )
+
+        buf = jax.tree_util.tree_map(alloc, shards, buf_specs)
+        if per:
+            # min trees start at +inf
+            inf = jnp.full(buf.tree.min_tree.shape, jnp.inf, jnp.float32)
+            buf = buf._replace(
+                tree=buf.tree._replace(min_tree=jax.device_put(inf, shard0))
+            )
+        return buf
+
+    # ------------------------------------------------------------------
+    # shard_map bodies: run per-device on local shards
+    # ------------------------------------------------------------------
+
+    def _local_insert(buffer, batch: Batch):
+        if per:
+            return replay.per_insert(buffer, batch, hp.per_max_priority)
+        return replay.insert(buffer, batch)
+
+    insert_sm = jax.jit(
+        jax.shard_map(
+            _local_insert,
+            mesh=mesh,
+            in_specs=(buf_specs, Batch(P(axis), P(axis), P(axis), P(axis), P(axis))),
+            out_specs=buf_specs,
+        ),
+        donate_argnums=(0,),
+    )
+
+    def _local_train(state: TrainState, buffer, rng: jax.Array):
+        my = jax.lax.axis_index(axis)
+        rng = jax.random.fold_in(rng, my)
+        if per:
+            beta = beta_schedule(
+                state.step * hp.n_env, hp.per_beta_start, hp.per_beta_end, hp.eps_dec
+            )
+            samp = replay.per_sample(buffer, rng, local_bs, beta)
+            batch, is_w = samp.batch, samp.is_weights
+        else:
+            batch = replay.sample_uniform(buffer, rng, local_bs)
+            is_w = None
+
+        def loss_fn(params):
+            return dqn_loss(
+                apply_fn, params, state.target_params, batch, gamma_n,
+                double=double, is_weights=is_w,
+            )
+
+        (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        step = state.step + 1
+        if hp.target_soft_update:
+            target_params = polyak_update(
+                state.target_params, params, hp.target_soft_update_tau * hp.n_env
+            )
+        else:
+            k = max(hp.target_update_freq // hp.n_env, 1)
+            target_params = jax.tree_util.tree_map(
+                lambda t, o: jnp.where(step % k == 0, o, t),
+                state.target_params, params,
+            )
+        if per:
+            buffer = replay.per_update_priorities(
+                buffer, samp.leaf_idx, abs_td,
+                epsilon=hp.per_epsilon, alpha=hp.per_alpha,
+                max_priority=hp.per_max_priority,
+            )
+        new_state = TrainState(params, target_params, opt_state, step, state.episode_count)
+        eps = epsilon_schedule(
+            step.astype(jnp.float32), hp.n_env,
+            hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
+        )
+        metrics = Metrics(loss=loss, mean_q=jax.lax.pmean(jnp.mean(abs_td), axis), epsilon=eps)
+        return new_state, buffer, metrics
+
+    state_specs = TrainState(P(), P(), P(), P(), P())
+    train_sm = jax.jit(
+        jax.shard_map(
+            _local_train,
+            mesh=mesh,
+            in_specs=(state_specs, buf_specs, P()),
+            out_specs=(state_specs, buf_specs, Metrics(P(), P(), P())),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
+    @jax.jit
+    def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
+        eps = epsilon_schedule(
+            state.step.astype(jnp.float32), hp.n_env,
+            hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
+        )
+        rng_u, rng_a = jax.random.split(rng)
+        greedy_a = greedy(state.params, obs)
+        rand_a = jax.random.randint(rng_a, greedy_a.shape, 0, n_actions)
+        explore = jax.random.uniform(rng_u, greedy_a.shape) <= eps
+        return jnp.where(explore, rand_a, greedy_a)
+
+    return DPLearner(
+        cfg=cfg,
+        mesh=mesh,
+        net=net,
+        init_state=init_state,
+        init_buffer=init_buffer,
+        insert=insert_sm,
+        train_step=train_sm,
+        select_actions=select_actions,
+        is_per=per,
+    )

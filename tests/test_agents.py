@@ -1,0 +1,132 @@
+"""DQN learner: end-to-end learning sanity + schedule semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_drl_rmc_tpu.config import Config, EnvConfig, HyperParams, NetworkSpec
+from multimodal_drl_rmc_tpu.agents.dqn import ALGO_FLAGS, make_learner
+from multimodal_drl_rmc_tpu.ops.losses import Batch
+
+
+def tiny_config(algo: str, **hp_kw) -> Config:
+    env = EnvConfig(obs_variant="macro_no_lane")
+    hp = HyperParams(
+        algo=algo, batch_size=16, max_mem=256, min_mem=32, lr=5e-3,
+        eps_dec=100.0, **hp_kw,
+    )
+    net = NetworkSpec(kind="mlp", macro_len=8, mlp_hidden=(32, 32),
+                      dueling=ALGO_FLAGS[algo][1])
+    return Config(env=env, hp=hp, net=net)
+
+
+def _best_action(obs):
+    return (obs[:, 0] > 0.5).astype(jnp.int32)  # 0 or 1
+
+
+def synthetic_bandit_batch(rng, n=64, obs_size=8):
+    """Contextual bandit: reward 1 iff action matches a threshold on obs[0]."""
+    obs = jax.random.uniform(rng, (n, obs_size))
+    action = jax.random.randint(jax.random.fold_in(rng, 1), (n,), 0, 8)
+    reward = (action == _best_action(obs)).astype(jnp.float32)
+    done = jnp.ones(n, jnp.float32)  # bandit: every transition terminal
+    return Batch(obs=obs, action=action, reward=reward, done=done, next_obs=obs)
+
+
+@pytest.mark.parametrize("algo", list(ALGO_FLAGS))
+def test_learner_improves_on_bandit(algo):
+    cfg = tiny_config(algo)
+    learner = make_learner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    buffer = learner.init_buffer()
+
+    for i in range(4):
+        batch = synthetic_bandit_batch(jax.random.PRNGKey(i), n=64)
+        buffer = learner.insert(buffer, batch)
+
+    rng = jax.random.PRNGKey(42)
+    state, buffer, m0 = learner.train_step(state, buffer, rng)
+    state, buffer, m1 = learner.train_many(state, buffer, jax.random.PRNGKey(1), 800)
+    assert float(m1.loss) < float(m0.loss)
+
+    test_obs = jax.random.uniform(jax.random.PRNGKey(99), (256, 8))
+    actions = learner.greedy_actions(state.params, test_obs)
+    acc = float(jnp.mean((actions == _best_action(test_obs)).astype(jnp.float32)))
+    assert acc > 0.9, f"{algo}: greedy accuracy {acc}"
+    assert int(state.step) == 801
+
+
+def test_epsilon_greedy_explores_at_start():
+    cfg = tiny_config("DQNAgent")
+    learner = make_learner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    obs = jnp.zeros((512, 8))
+    a = learner.select_actions(state, obs, jax.random.PRNGKey(1))
+    # eps at step 0 is 1.0 -> actions are uniform random, all 8 appear.
+    assert len(set(np.asarray(a).tolist())) == 8
+
+
+def test_greedy_after_decay():
+    cfg = tiny_config("DQNAgent")
+    learner = make_learner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    state = state._replace(step=jnp.asarray(10_000, jnp.int32))
+    obs = jnp.tile(jnp.arange(8, dtype=jnp.float32)[None, :], (64, 1))
+    a = np.asarray(learner.select_actions(state, obs, jax.random.PRNGKey(2)))
+    greedy = np.asarray(learner.greedy_actions(state.params, obs))
+    assert (a == greedy).mean() > 0.95  # eps_min = 0.01
+
+
+def _first_kernel(params):
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in leaves:
+        if "kernel" in str(path):
+            return leaf
+    raise AssertionError("no kernel leaf")
+
+
+def test_hard_target_update():
+    cfg = tiny_config("DQNAgent", target_soft_update=False, target_update_freq=4, n_env=1)
+    learner = make_learner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    buffer = learner.init_buffer()
+    buffer = learner.insert(buffer, synthetic_bandit_batch(jax.random.PRNGKey(0)))
+
+    def diff(s):
+        return float(
+            jnp.sum(jnp.abs(_first_kernel(s.params) - _first_kernel(s.target_params)))
+        )
+
+    for i in range(3):
+        state, buffer, _ = learner.train_step(state, buffer, jax.random.PRNGKey(i))
+        assert diff(state) > 0  # steps 1..3: target is stale
+    state, buffer, _ = learner.train_step(state, buffer, jax.random.PRNGKey(9))
+    assert diff(state) == 0  # step 4: hard sync
+
+
+def test_soft_target_update_tracks_online():
+    cfg = tiny_config("DoubleDQNAgent", target_soft_update=True,
+                      target_soft_update_tau=0.5)
+    learner = make_learner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    buffer = learner.init_buffer()
+    buffer = learner.insert(buffer, synthetic_bandit_batch(jax.random.PRNGKey(0)))
+    w_init = np.asarray(_first_kernel(state.params))  # copy before donation
+    s1, buffer, _ = learner.train_step(state, buffer, jax.random.PRNGKey(1))
+    w_t = _first_kernel(s1.target_params)
+    w_o = _first_kernel(s1.params)
+    np.testing.assert_allclose(
+        np.asarray(w_t), np.asarray(0.5 * w_o + 0.5 * w_init), atol=1e-6
+    )
+
+
+def test_per_priorities_change_after_training():
+    cfg = tiny_config("PerDuelingDoubleDQNAgent")
+    learner = make_learner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    buffer = learner.init_buffer()
+    buffer = learner.insert(buffer, synthetic_bandit_batch(jax.random.PRNGKey(0)))
+    t0 = float(buffer.tree.total)
+    state, buffer, _ = learner.train_step(state, buffer, jax.random.PRNGKey(1))
+    assert float(buffer.tree.total) != t0
