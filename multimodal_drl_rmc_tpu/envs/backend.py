@@ -180,6 +180,15 @@ class TrafficBackend(abc.ABC):
             "total_arrived": 0,
         }
 
+    def episode_artifacts(self) -> dict:
+        """End-of-episode artifacts for the evaluation harness.
+
+        Keys (all optional): 'tripinfo_xml' / 'sumo_log' — file paths for
+        the SUMO parsers; 'trip_stats' / 'sim_log_stats' — already-aggregated
+        dicts in the same schema for backends that track trips natively.
+        """
+        return {}
+
 
 # ---------------------------------------------------------------------------
 # Aggregation helpers over loop groups (reference sumo_env.py:427-501).

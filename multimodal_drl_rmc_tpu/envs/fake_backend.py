@@ -114,6 +114,8 @@ class FakeTrafficBackend(TrafficBackend):
         self._bottleneck_speed = self.spec.edge("acceleration_area").speed_mps
         self._upstream_speed = self.spec.edge("main_road").speed_mps
         self._last_discharge_vps = 0.0
+        self._delay_accum_s = 0.0
+        self._waiting_accum_s = 0.0
 
     def step(self) -> None:
         dt = self.sim_step_seconds
@@ -168,6 +170,15 @@ class FakeTrafficBackend(TrafficBackend):
 
         self._departed += (main_vps + ramp_vps) * dt
         self._arrived += out_vps * dt
+        # Aggregate delay proxy: mainline vehicles losing speed + queued
+        # ramp vehicles each losing a full second per second.
+        n_main = (main_vps * self.spec.edge("main_road").length_m
+                  / max(self._upstream_speed, 1.0))
+        freeflow = self.spec.edge("main_road").speed_mps
+        self._delay_accum_s += dt * (
+            n_main * (1.0 - self._upstream_speed / freeflow) + self._queue
+        )
+        self._waiting_accum_s += dt * self._queue
         self._t += dt
         if self._t % self.detector_period_s < dt / 2 or \
            self.detector_period_s - (self._t % self.detector_period_s) < dt / 2:
@@ -255,4 +266,41 @@ class FakeTrafficBackend(TrafficBackend):
             "total_running_vehicles": int(self._departed - self._arrived),
             "total_departed": int(self._departed),
             "total_arrived": int(self._arrived),
+        }
+
+    def episode_artifacts(self) -> dict:
+        """Coarse tripinfo-equivalent aggregates so the evaluation harness
+        produces schema-complete rows without SUMO (real fidelity comes from
+        the native / SUMO backends)."""
+        arrived = max(1.0, self._arrived)
+        freeflow_tt = sum(
+            self.spec.edge(e).length_m / self.spec.edge(e).speed_mps
+            for e in ("entry", "off_ramp_up_stream", "main_road",
+                      "acceleration_area", "end_main_road")
+        )
+        total_tt = arrived * freeflow_tt + self._delay_accum_s
+        trip_stats = {
+            "total_throughput": int(self._arrived),
+            "total_travel_time": total_tt,
+            "avg_travel_time": total_tt / arrived,
+            "total_time_loss": self._delay_accum_s,
+            "avg_time_loss": self._delay_accum_s / arrived,
+            "total_waiting_time": self._waiting_accum_s,
+            "avg_waiting_time": self._waiting_accum_s / arrived,
+            "num_teleported_tripinfo": 0,
+            # ~3.6 g CO2 per vehicle-second, the order the reference's HBEFA
+            # totals imply (BASELINE.md: ~2e9 mg over ~5.5e5 veh-s).
+            "total_co2_mg": total_tt * 3600.0,
+            "total_fuel_ml": total_tt * 1.5,
+            "total_nox_mg": total_tt * 1.6,
+        }
+        loaded = max(1, int(self._departed))
+        return {
+            "trip_stats": trip_stats,
+            "sim_log_stats": {
+                "demand_loaded": loaded,
+                "demand_inserted": int(self._departed),
+                "service_rate": 1.0,
+                "num_emergency_stops": 0,
+            },
         }

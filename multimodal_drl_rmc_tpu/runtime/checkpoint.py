@@ -1,0 +1,101 @@
+"""Full training-state checkpoints + reference-compatible .pack export.
+
+The reference checkpoints only the network weights + 4 scalars and does NOT
+persist optimizer state (SURVEY.md §5, network.py:27-47), so resumed runs
+silently reset Adam moments. Here the full ``TrainState`` (params, target
+params, optimizer state, counters) round-trips losslessly through flax's
+msgpack serialization, while ``export_pack`` additionally writes the
+reference's ``<Algo>_lr<lr>_model.pack`` file so checkpoints remain
+interchangeable with the PyTorch stack in both directions
+(models/packio.py)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..config import Config
+from ..models import packio
+
+
+def _numpyify(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_train_state(path: str, state, *, rew_mean: float = 0.0,
+                     len_mean: float = 0.0, episode_count: int = 0) -> None:
+    payload = {
+        "state": serialization.to_state_dict(_numpyify(state)),
+        "meta": {
+            "rew_mean": float(rew_mean),
+            "len_mean": float(len_mean),
+            "episode_count": int(episode_count),
+            "step": int(state.step),
+        },
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_train_state(path: str, template_state):
+    """Restore onto a freshly-initialized template (shapes/structure source)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    state = serialization.from_state_dict(template_state, payload["state"])
+    return state, dict(payload["meta"])
+
+
+def run_name(cfg: Config) -> str:
+    """'<Algo>_lr<lr>' — the reference's run/checkpoint naming convention
+    (agent.py:44-49, parsed back at inference by observe.py:22-35)."""
+    return f"{cfg.hp.algo}_lr{cfg.hp.lr}"
+
+
+def pack_path(cfg: Config) -> str:
+    return os.path.join(cfg.hp.save_dir, f"{run_name(cfg)}_model.pack")
+
+
+def state_path(cfg: Config) -> str:
+    return os.path.join(cfg.hp.save_dir, f"{run_name(cfg)}_state.msgpack")
+
+
+def export_pack(cfg: Config, state, *, rew_mean: float = 0.0,
+                len_mean: float = 0.0, episode_count: int = 0) -> str:
+    path = pack_path(cfg)
+    packio.save_pack(
+        path, state.params, cfg.net,
+        step=int(state.step), episode_count=episode_count,
+        rew_mean=rew_mean, len_mean=len_mean,
+    )
+    return path
+
+
+def save_all(cfg: Config, state, stats) -> None:
+    kw = dict(rew_mean=stats.rew_mean, len_mean=stats.len_mean,
+              episode_count=stats.count)
+    save_train_state(state_path(cfg), state, **kw)
+    export_pack(cfg, state, **kw)
+
+
+def try_resume(cfg: Config, template_state):
+    """Returns (state, meta) — full-state resume if present, else .pack
+    weights-only (reference-style resume), else the fresh template."""
+    sp = state_path(cfg)
+    if os.path.isfile(sp):
+        return load_train_state(sp, template_state)
+    pp = pack_path(cfg)
+    if os.path.isfile(pp):
+        params, meta = packio.load_pack(pp, cfg.net)
+        state = template_state._replace(
+            params=params,
+            target_params=jax.tree_util.tree_map(np.copy, params),
+            step=np.asarray(meta["step"], np.int32),
+        )
+        return state, meta
+    return template_state, {"rew_mean": 0.0, "len_mean": 0.0,
+                            "episode_count": 0, "step": 0}

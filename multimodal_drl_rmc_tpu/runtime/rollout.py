@@ -1,0 +1,116 @@
+"""Greedy-policy and baseline rollout harnesses.
+
+Behavioral port targets: reference ``observe.py`` (greedy rollout of a
+trained .pack, algo+lr parsed from the filename, :11-93), ``play.py``
+(named baseline, :7-60), and the ``CustomView`` run-loop they both extend
+(env/view.py:126-165). The view scaffold collapses into a plain episode
+loop — there is no pyglet path to keep alive (reference has it disabled,
+view.py:2)."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..config import Config, EnvConfig, network_spec_for_variant
+from ..envs import GymEnvWrapper, RampEnv
+from ..envs.wrapper import MaxEpisodeStepsWrapper
+from ..models import packio
+from ..models.networks import build_network, greedy_fn
+
+
+def _wrap(env: GymEnvWrapper, max_steps: int):
+    return MaxEpisodeStepsWrapper(env, max_steps) if max_steps > 0 else env
+
+
+class PolicyRunner:
+    """Greedy rollout of a .pack checkpoint (reference Observe)."""
+
+    def __init__(self, model_path: str, *, backend: str = "auto",
+                 obs_variant: str = "hybrid", cfg: Config | None = None,
+                 gui: bool = False, max_steps: int = 0,
+                 log: bool = False, log_step: int = 0, log_dir: str = "./logs/test/"):
+        algo, lr = packio.parse_pack_filename(model_path)
+        spec = network_spec_for_variant(obs_variant)
+        dueling = "Dueling" in algo
+        if spec.dueling != dueling:
+            spec = type(spec)(**{**spec.__dict__, "dueling": dueling})
+        self.cfg = (cfg or Config()).replace(net=spec)
+        if self.cfg.env.obs_variant != obs_variant:
+            self.cfg = self.cfg.replace(
+                env=EnvConfig(**{**self.cfg.env.__dict__, "obs_variant": obs_variant})
+            )
+
+        self.inner = GymEnvWrapper(RampEnv("observe", cfg=self.cfg, backend=backend, gui=gui))
+        self.env = _wrap(self.inner, max_steps)
+        self.net = build_network(spec, self.cfg.env.n_actions)
+        self.params, self.meta = packio.load_pack(model_path, spec, dueling)
+        self._greedy = jax.jit(greedy_fn(self.net))
+        model_pack = model_path.split("/")[-1].split("_model.pack")[0]
+        self.log = (log, log_step, log_dir + model_pack)
+
+    def action(self, obs: np.ndarray) -> int:
+        return int(self._greedy(self.params, np.asarray(obs, np.float32)[None])[0])
+
+    def run_episode(self, seed: int | None = None) -> dict:
+        obs, info = self.env.reset(seed=seed)
+        done = False
+        while not done:
+            obs, _, terminated, truncated, info = self.env.step(self.action(obs))
+            done = terminated or truncated
+            self.inner.log_info_writer(info, done, *self.log)
+        return info
+
+    def run(self, max_episodes: int = 1) -> list[dict]:
+        out = []
+        for ep in range(max_episodes):
+            info = self.run_episode()
+            print(f"episode {ep + 1}: r={info.get('r', 0):.2f} l={info.get('l', 0)}")
+            out.append(info)
+        self.env.close()
+        return out
+
+    def get_scenario_info(self) -> dict:
+        return self.inner.get_env().get_scenario_info()
+
+    def close(self) -> None:
+        self.env.close()
+
+
+class BaselineRunner:
+    """Run a named baseline controller (reference Play)."""
+
+    def __init__(self, player: str, *, backend: str = "auto",
+                 cfg: Config | None = None, gui: bool = False, max_steps: int = 0,
+                 log: bool = False, log_step: int = 0, log_dir: str = "./logs/test/"):
+        self.cfg = cfg or Config()
+        self.player = player
+        self.inner = GymEnvWrapper(
+            RampEnv("play", player, cfg=self.cfg, backend=backend, gui=gui)
+        )
+        self.env = _wrap(self.inner, max_steps)
+        self.log = (log, log_step, log_dir + player)
+
+    def run_episode(self, seed: int | None = None) -> dict:
+        obs, info = self.env.reset(seed=seed)
+        done = False
+        while not done:
+            obs, _, terminated, truncated, info = self.env.step(0)
+            done = terminated or truncated
+            self.inner.log_info_writer(info, done, *self.log)
+        return info
+
+    def run(self, max_episodes: int = 1) -> list[dict]:
+        out = []
+        for ep in range(max_episodes):
+            info = self.run_episode()
+            print(f"episode {ep + 1}: l={info.get('l', 0)}")
+            out.append(info)
+        self.env.close()
+        return out
+
+    def get_scenario_info(self) -> dict:
+        return self.inner.get_env().get_scenario_info()
+
+    def close(self) -> None:
+        self.env.close()

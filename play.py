@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Root CLI shim — see multimodal_drl_rmc_tpu/runtime/play.py."""
+
+from multimodal_drl_rmc_tpu.runtime.play import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Drivers: trainer loop, checkpoint round-trip, rollout runners, evaluate
+harness (reference train.py / observe.py / play.py / evaluate.py)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_drl_rmc_tpu.agents.dqn import make_learner
+from multimodal_drl_rmc_tpu.config import (
+    Config,
+    EnvConfig,
+    HyperParams,
+    ScenarioConfig,
+    network_spec_for_variant,
+)
+from multimodal_drl_rmc_tpu.runtime import checkpoint
+from multimodal_drl_rmc_tpu.runtime.evaluate import evaluate_strategy
+from multimodal_drl_rmc_tpu.runtime.rollout import BaselineRunner, PolicyRunner
+from multimodal_drl_rmc_tpu.runtime.train import Trainer
+
+
+def tiny_cfg(tmp_path, algo="DuelingDoubleDQNAgent", episode_s=200.0, **hp_kw):
+    hp = dict(
+        algo=algo, batch_size=8, min_mem=12, max_mem=64,
+        max_total_steps=6, save_freq=4, log_freq=3, load=False,
+        save_dir=str(tmp_path / "save") + "/", log_dir=str(tmp_path / "logs") + "/",
+        max_episode_steps=0, eps_dec=100.0,
+    )
+    hp.update(hp_kw)
+    return Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=episode_s)),
+        hp=HyperParams(**hp),
+    )
+
+
+def test_trainer_end_to_end(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    trainer = Trainer(cfg, backend="fake", threaded=False)
+    trainer.run()
+    # Checkpoints written (both full state and reference .pack).
+    assert os.path.isfile(checkpoint.state_path(cfg))
+    assert os.path.isfile(checkpoint.pack_path(cfg))
+    # Metrics stream exists.
+    run_dir = os.path.join(cfg.hp.log_dir, checkpoint.run_name(cfg))
+    assert os.path.isfile(os.path.join(run_dir, "metrics.jsonl"))
+    assert int(trainer.state.step) >= cfg.hp.max_total_steps
+
+
+def test_trainer_resume_restores_step_and_opt_state(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    Trainer(cfg, backend="fake", threaded=False).run()
+    cfg2 = cfg.replace(hp=HyperParams(**{**cfg.hp.__dict__, "load": True}))
+    t2 = Trainer(cfg2, backend="fake", threaded=False)
+    assert t2.resume_step >= cfg.hp.max_total_steps
+    assert int(t2.state.step) == t2.resume_step
+    # Adam moments restored (non-zero after prior training).
+    mu_leaves = [np.asarray(x) for x in
+                 __import__("jax").tree_util.tree_leaves(t2.state.opt_state)]
+    assert any(np.abs(leaf).sum() > 0 for leaf in mu_leaves if leaf.ndim > 0)
+
+
+def test_checkpoint_pack_weights_roundtrip(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    learner = make_learner(cfg)
+    import jax
+
+    state = learner.init_state(jax.random.PRNGKey(0))
+    checkpoint.save_all(cfg, state, _FakeStats())
+    # .pack reloads into identical params via the torch-layout round trip.
+    from multimodal_drl_rmc_tpu.models import packio
+
+    params, meta = packio.load_pack(checkpoint.pack_path(cfg), cfg.net)
+    orig = jax.tree_util.tree_leaves(state.params)
+    loaded = jax.tree_util.tree_leaves(params)
+    for a, b in zip(orig, loaded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class _FakeStats:
+    rew_mean = 1.5
+    len_mean = 10.0
+    count = 3
+
+
+def test_policy_runner_episode(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    learner = make_learner(cfg)
+    import jax
+
+    state = learner.init_state(jax.random.PRNGKey(0))
+    pack = checkpoint.export_pack(cfg, state)
+    runner = PolicyRunner(pack, backend="fake", cfg=cfg)
+    info = runner.run_episode(seed=3)
+    assert info["l"] == 5  # 200 s / 40 s cycles
+    runner.close()
+
+
+def test_baseline_runner_episode(tmp_path):
+    cfg = tiny_cfg(tmp_path, episode_s=120.0)
+    runner = BaselineRunner("FixedCycleBaseline", backend="fake", cfg=cfg)
+    info = runner.run_episode(seed=1)
+    assert info["l"] == 120  # 1 Hz stepping
+    runner.close()
+
+
+def test_evaluate_strategy_baseline(tmp_path):
+    cfg = tiny_cfg(tmp_path, episode_s=120.0)
+    df = evaluate_strategy(
+        "AlineaDsBaseline", num_episodes=2, master_seed=7,
+        output_dir=str(tmp_path / "results"), backend="fake", cfg=cfg,
+    )
+    assert len(df) == 2
+    assert list(df["seed"]) == [7, 8]
+    for col in ("main_flow_vph", "con_penetration_rate", "total_throughput",
+                "total_travel_time", "avg_time_loss", "total_co2_mg",
+                "avg_ramp_queue_veh", "total_spillback_time_sec",
+                "demand_loaded", "service_rate"):
+        assert col in df.columns, col
+    out = tmp_path / "results" / "results_AlineaDsBaseline.csv"
+    assert out.is_file()
+    # Seeded episodes differ (different demand draws) but are reproducible.
+    df2 = evaluate_strategy(
+        "AlineaDsBaseline", num_episodes=2, master_seed=7,
+        output_dir=str(tmp_path / "results2"), backend="fake", cfg=cfg,
+    )
+    pd.testing.assert_frame_equal(df, df2)
+
+
+def test_evaluate_strategy_dqn(tmp_path):
+    cfg = tiny_cfg(tmp_path, episode_s=120.0)
+    learner = make_learner(cfg)
+    import jax
+
+    state = learner.init_state(jax.random.PRNGKey(1))
+    pack = checkpoint.export_pack(cfg, state)
+    df = evaluate_strategy(
+        "DQNAgent", num_episodes=1, master_seed=11, model_path=pack,
+        output_dir=str(tmp_path / "results"), backend="fake", cfg=cfg,
+    )
+    assert len(df) == 1
+    assert "avg_mainline_speed_mergeArea_km/h" in df.columns
+
+
+def test_macro_variant_policy(tmp_path):
+    cfg = tiny_cfg(tmp_path).replace(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0),
+                      obs_variant="macro_no_lane"),
+        net=network_spec_for_variant("macro_no_lane"),
+    )
+    learner = make_learner(cfg)
+    import jax
+
+    state = learner.init_state(jax.random.PRNGKey(0))
+    pack = checkpoint.export_pack(cfg, state)
+    runner = PolicyRunner(pack, backend="fake", obs_variant="macro_no_lane", cfg=cfg)
+    info = runner.run_episode(seed=0)
+    assert info["l"] == 3
+    runner.close()
