@@ -1,0 +1,412 @@
+"""On-device batched traffic microsimulation (pure JAX, fixed shapes).
+
+This is the TPU-native answer to the reference's throughput wall: one
+reference transition costs ~40 TraCI socket round-trips into a C++ SUMO
+process (SURVEY.md §3.1 'INNER HOT LOOP'), capping training at a few
+transitions/sec. Here the corridor physics itself is a jitted, vmapped JAX
+program, so thousands of envs step *on the TPU* and the full
+act -> simulate-40s -> observe -> learn loop fuses into one XLA computation
+with zero host round-trips (sim/env.py, sim/train_on_device.py).
+
+Model:
+  * 5 FIFO lane-chains (sim/geometry.py) as ring buffers — no sorting, no
+    dynamic shapes. A slot's leader is slot-1; the head's leader is +inf.
+  * IDM car-following (continuous, vectorizable; T tuned so lane capacity
+    ~1900 veh/h matches the reference's normalization constant
+    MAX_LANE_FLOW_VPH, utils.py / EnvConfig).
+  * The ramp meter is a stationary virtual leader at the stop line while
+    the phase is red.
+  * Zipper-merge coupling between the ramp chain and mainline lane 0 over
+    the acceleration area: pairwise cross-leader search (a [N, N] masked
+    min — a few MB of VPU work, trivially parallel).
+  * Induction loops integrate crossings/occupancy in chain coordinates with
+    the same aggregation the host backends expose (envs/backend.py).
+
+Fidelity stance: this is a *capability-equivalent* bottleneck simulator for
+high-throughput RL training; SUMO (via the TraCI backend) and the native
+C++ sim remain the evaluation-grade backends.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ScenarioConfig
+from .geometry import (
+    GEO,
+    LOOPS_PER_CHAIN,
+    MIN_GAP_M,
+    N_CHAINS,
+    SLOTS,
+    SPACING_M,
+    VEH_LENGTH_M,
+)
+
+# IDM parameters (accel/decel from the reference vType defs,
+# sumo_env.py:611-612; T chosen for ~1900 veh/h/lane capacity).
+IDM_A = 2.6
+IDM_B = 4.5
+IDM_T = 1.5
+IDM_DELTA = 4.0
+IDM_S0 = MIN_GAP_M
+SUBSTEPS = 2
+DT_SUB = 0.5
+EMERGENCY_B = 9.0
+
+N_LOOPS = len(GEO.loop_names)
+LOOP_SHAPE = (N_CHAINS, LOOPS_PER_CHAIN)
+
+_SEG_END = jnp.asarray(GEO.seg_end)
+_SEG_SPEED = jnp.asarray(GEO.seg_speed)
+_CHAIN_LEN = jnp.asarray(GEO.chain_length)
+_STOP_LINE = jnp.asarray(GEO.stop_line)
+_LOOP_TABLE = jnp.asarray(GEO.loop_table_pos)  # [C, K]
+_FREEFLOW_TT = jnp.asarray(GEO.freeflow_tt)
+
+GREEN, RED = 0, 1
+
+
+class SimState(NamedTuple):
+    """One environment's complete device-resident state."""
+
+    pos: jax.Array        # [C, N] f32 chain coordinate (1e9 when inactive)
+    speed: jax.Array      # [C, N] f32
+    active: jax.Array     # [C, N] bool
+    connected: jax.Array  # [C, N] bool
+    depart_t: jax.Array   # [C, N] f32
+    wait: jax.Array       # [C, N] f32 accumulated standstill time
+    head: jax.Array       # [C] i32
+    count: jax.Array      # [C] i32
+    pending: jax.Array    # [C] f32 demand backlog (loaded, not yet inserted)
+    phase: jax.Array      # [] i32
+    t: jax.Array          # [] f32 sim seconds
+    rng: jax.Array
+    demand: jax.Array     # [4] f32: main_vph, ramp_vph, off_vph, pen_rate
+    # Interval accumulators (zeroed at each control-cycle start)
+    loop_count: jax.Array      # [C, K] f32
+    loop_speed_sum: jax.Array  # [C, K] f32 (sum of crossing speeds)
+    loop_occ_time: jax.Array   # [C, K] f32 (seconds occupied)
+    interval_s: jax.Array      # [] f32
+    sum_queue: jax.Array       # [] f32
+    # Last 1 s step readings (flow-weighted speed semantics)
+    loop_step_count: jax.Array  # [C, K] f32
+    loop_step_speed: jax.Array  # [C, K] f32
+    # Trip statistics (episode-cumulative)
+    arrived: jax.Array
+    travel_sum: jax.Array
+    loss_sum: jax.Array
+    wait_sum: jax.Array
+    departed: jax.Array
+    loaded: jax.Array
+
+
+def _zeros_state(rng: jax.Array, demand: jax.Array) -> SimState:
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    return SimState(
+        pos=jnp.full((N_CHAINS, SLOTS), 1e9, jnp.float32),
+        speed=z(N_CHAINS, SLOTS),
+        active=jnp.zeros((N_CHAINS, SLOTS), bool),
+        connected=jnp.zeros((N_CHAINS, SLOTS), bool),
+        depart_t=z(N_CHAINS, SLOTS),
+        wait=z(N_CHAINS, SLOTS),
+        head=jnp.zeros((N_CHAINS,), jnp.int32),
+        count=jnp.zeros((N_CHAINS,), jnp.int32),
+        pending=z(N_CHAINS),
+        phase=jnp.asarray(RED, jnp.int32),
+        t=z(),
+        rng=rng,
+        demand=demand,
+        loop_count=z(*LOOP_SHAPE),
+        loop_speed_sum=z(*LOOP_SHAPE),
+        loop_occ_time=z(*LOOP_SHAPE),
+        interval_s=z(),
+        sum_queue=z(),
+        loop_step_count=z(*LOOP_SHAPE),
+        loop_step_speed=z(*LOOP_SHAPE),
+        arrived=z(), travel_sum=z(), loss_sum=z(), wait_sum=z(),
+        departed=z(), loaded=z(),
+    )
+
+
+def draw_demand(rng: jax.Array, cfg: ScenarioConfig) -> jax.Array:
+    """Weighted demand draw on device (mirrors envs/backend.draw_demand)."""
+    r_main, r_ramp, r_off, r_pen = jax.random.split(rng, 4)
+
+    def choice(key, values, weights):
+        v = jnp.asarray(values, jnp.float32)
+        p = jnp.asarray(weights, jnp.float32)
+        idx = jax.random.choice(key, v.shape[0], p=p / p.sum())
+        return v[idx]
+
+    main = choice(r_main, cfg.veh_per_hour_main, cfg.veh_per_hour_main_weights)
+    ramp = choice(r_ramp, cfg.veh_per_hour_on_ramp, cfg.veh_per_hour_on_ramp_weights)
+    off = choice(r_off, cfg.veh_per_hour_off_ramp, cfg.veh_per_hour_off_ramp_weights)
+    lo, hi = cfg.con_penetration_rate_range
+    pen = jax.random.uniform(r_pen, minval=lo, maxval=hi)
+    return jnp.stack([main, ramp, off, pen])
+
+
+def reset(rng: jax.Array, cfg: ScenarioConfig) -> SimState:
+    rng, r_demand = jax.random.split(rng)
+    state = _zeros_state(rng, draw_demand(r_demand, cfg))
+    # ~5 s of red warm-up, mirroring the host controller's reset
+    # (rl_controller.py:165-173).
+    def body(s, _):
+        return step_1s(s), None
+
+    state, _ = jax.lax.scan(body, state, None, length=5)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Physics
+# ---------------------------------------------------------------------------
+
+
+def _speed_limit(pos: jax.Array) -> jax.Array:
+    """Per-vehicle speed limit from the segment tables. pos: [C, N]."""
+    seg_idx = jnp.sum(pos[:, :, None] > _SEG_END[:, None, :], axis=-1)
+    seg_idx = jnp.minimum(seg_idx, _SEG_END.shape[1] - 1)
+    return jnp.take_along_axis(_SEG_SPEED, seg_idx.reshape(N_CHAINS, -1), axis=1
+                               ).reshape(pos.shape)
+
+
+def _idm_accel(v, v0, gap, dv):
+    s_star = IDM_S0 + v * IDM_T + v * dv / (2.0 * jnp.sqrt(IDM_A * IDM_B))
+    s_star = jnp.maximum(s_star, IDM_S0)
+    gap = jnp.maximum(gap, 0.1)
+    acc = IDM_A * (1.0 - (v / jnp.maximum(v0, 0.1)) ** IDM_DELTA - (s_star / gap) ** 2)
+    return jnp.clip(acc, -EMERGENCY_B, IDM_A)
+
+
+# Merge-coupling via position bins. Both streams are projected into the
+# common (mainline) frame over [MERGE_LO_COMMON, chain end]; with 4 m bins
+# and >=7.5 m same-lane spacing, each bin holds at most one vehicle per
+# stream, so a scatter-min + reverse associative scan yields every
+# vehicle's nearest-ahead cross-stream leader in O(N + BINS) — replacing an
+# O(N^2) pairwise search that dominated the step cost on TPU.
+_MERGE_LO_COMMON = GEO.merge_zone_lo + GEO.merge_offset
+_BIN_M = 4.0
+_BINS = 128
+
+
+def _bin_stream(pos_common, speed, valid):
+    """Suffix tables (nearest-ahead pos/speed per bin) for one stream.
+
+    The bin fill is a combining scatter-min/max over N updates — measured
+    faster on TPU than the dense [N, BINS] one-hot reduction at these
+    shapes (the scatter vectorizes across the vmapped batch).
+    """
+    b = jnp.floor((pos_common - _MERGE_LO_COMMON) / _BIN_M).astype(jnp.int32)
+    in_zone = valid & (b >= 0) & (b < _BINS)
+    bi = jnp.where(in_zone, b, _BINS)  # dump slot for out-of-zone vehicles
+    pos_bin = jnp.full((_BINS + 1,), jnp.inf, jnp.float32).at[bi].min(
+        jnp.where(in_zone, pos_common, jnp.inf))[:_BINS]
+    spd_bin = jnp.zeros((_BINS + 1,), jnp.float32).at[bi].max(
+        jnp.where(in_zone, speed, 0.0))[:_BINS]
+
+    def combine(a, c):
+        pa, sa = a
+        pc, sc = c
+        take = pa <= pc
+        return jnp.where(take, pa, pc), jnp.where(take, sa, sc)
+
+    sufp, sufs = jax.lax.associative_scan(
+        combine, (pos_bin, spd_bin), reverse=True)
+    pad_p = jnp.asarray([jnp.inf], jnp.float32)
+    pad_s = jnp.asarray([0.0], jnp.float32)
+    return jnp.concatenate([sufp, pad_p]), jnp.concatenate([sufs, pad_s])
+
+
+def _cross_lookup(pos_common, valid, sufp, sufs):
+    """(gap, leader speed) to the nearest-ahead cross-stream vehicle."""
+    b = jnp.clip(jnp.floor((pos_common - _MERGE_LO_COMMON) / _BIN_M
+                           ).astype(jnp.int32), 0, _BINS - 1)
+    in_zone = valid & (pos_common >= _MERGE_LO_COMMON)
+    p0, s0 = sufp[b], sufs[b]
+    p1, s1 = sufp[b + 1], sufs[b + 1]
+    use0 = p0 > pos_common  # own-bin occupant counts only if strictly ahead
+    lead_p = jnp.where(use0, p0, p1)
+    lead_s = jnp.where(use0, s0, s1)
+    gap = jnp.where(in_zone, lead_p - pos_common - VEH_LENGTH_M, jnp.inf)
+    return gap, jnp.where(jnp.isfinite(gap), lead_s, 0.0)
+
+
+def _substep(state: SimState) -> SimState:
+    pos, speed, active = state.pos, state.speed, state.active
+    idx = jnp.arange(SLOTS)
+
+    # Same-lane leader: slot-1 in ring order; head has no leader.
+    lead_pos = jnp.roll(pos, 1, axis=1)
+    lead_speed = jnp.roll(speed, 1, axis=1)
+    is_head = idx[None, :] == state.head[:, None]
+    lead_pos = jnp.where(is_head, jnp.inf, lead_pos)
+    lead_speed = jnp.where(is_head, 0.0, lead_speed)
+    gap = lead_pos - pos - VEH_LENGTH_M
+    dv = jnp.where(jnp.isfinite(gap), speed - lead_speed, 0.0)
+
+    # Ramp meter: stationary virtual leader at the stop line when red.
+    red = state.phase == RED
+    before_stop = pos < _STOP_LINE[:, None]
+    stop_gap = _STOP_LINE[:, None] - pos
+    use_stop = red & before_stop & (stop_gap < gap)
+    gap = jnp.where(use_stop, stop_gap, gap)
+    dv = jnp.where(use_stop, speed, dv)
+
+    # Zipper-merge coupling: chain 3 <-> chain 0 in the shared frame.
+    m3 = pos[3] + GEO.merge_offset
+    sufp0, sufs0 = _bin_stream(pos[0], speed[0], active[0])
+    sufp3, sufs3 = _bin_stream(m3, speed[3], active[3])
+    g3x, s3x = _cross_lookup(m3, active[3], sufp0, sufs0)
+    g0x, s0x = _cross_lookup(pos[0], active[0], sufp3, sufs3)
+    use3 = g3x < gap[3]
+    use0 = g0x < gap[0]
+    gap = gap.at[3].set(jnp.where(use3, g3x, gap[3]))
+    dv = dv.at[3].set(jnp.where(use3, speed[3] - s3x, dv[3]))
+    gap = gap.at[0].set(jnp.where(use0, g0x, gap[0]))
+    dv = dv.at[0].set(jnp.where(use0, speed[0] - s0x, dv[0]))
+
+    v0 = _speed_limit(pos)
+    acc = _idm_accel(speed, v0, gap, dv)
+    new_speed = jnp.where(active, jnp.maximum(speed + acc * DT_SUB, 0.0), 0.0)
+    new_pos = jnp.where(active, pos + new_speed * DT_SUB, pos)
+    new_wait = jnp.where(active & (new_speed < 0.1), state.wait + DT_SUB, state.wait)
+    return state._replace(pos=new_pos, speed=new_speed, wait=new_wait)
+
+
+# ---------------------------------------------------------------------------
+# Detectors / exits / arrivals — once per 1 s step
+# ---------------------------------------------------------------------------
+
+
+def _detector_pass(state: SimState, pos_prev: jax.Array) -> SimState:
+    # Chain-major, unrolled over the K loop slots: every op stays on the
+    # native [C, N] vehicle layout (the [C, K, N] broadcast and the
+    # [L, N] gather forms both scaled badly on TPU at large vmap batches).
+    p0, p1 = pos_prev, state.pos
+    act = state.active
+    v = state.speed
+    dur_unit = jnp.where(act, jnp.minimum(1.0, VEH_LENGTH_M / jnp.maximum(v, 0.18)), 0.0)
+
+    counts_k, speeds_k, occ_k = [], [], []
+    for k in range(LOOPS_PER_CHAIN):
+        x = _LOOP_TABLE[:, k][:, None]                     # [C, 1]
+        crossed = act & (p0 < x) & (p1 >= x)
+        counts_k.append(jnp.sum(crossed, axis=1).astype(jnp.float32))
+        speeds_k.append(jnp.sum(jnp.where(crossed, v, 0.0), axis=1))
+        covering = (p1 >= x) & (p0 <= x + VEH_LENGTH_M)
+        occ_k.append(jnp.minimum(jnp.sum(jnp.where(covering, dur_unit, 0.0),
+                                         axis=1), 1.0))
+    counts = jnp.stack(counts_k, axis=1)                   # [C, K]
+    speed_sum = jnp.stack(speeds_k, axis=1)
+    occ_time = jnp.stack(occ_k, axis=1)
+
+    mean_step_speed = jnp.where(counts > 0, speed_sum / jnp.maximum(counts, 1.0), -1.0)
+    queue = jnp.sum(state.active[3] & (state.pos[3] <= GEO.ramp_edge_end)
+                    ).astype(jnp.float32)
+    return state._replace(
+        loop_count=state.loop_count + counts,
+        loop_speed_sum=state.loop_speed_sum + speed_sum,
+        loop_occ_time=state.loop_occ_time + occ_time,
+        interval_s=state.interval_s + 1.0,
+        sum_queue=state.sum_queue + queue,
+        loop_step_count=counts,
+        loop_step_speed=mean_step_speed,
+    )
+
+
+def _pop_arrivals(state: SimState) -> SimState:
+    """Retire up to 2 head vehicles per chain that crossed the chain end.
+
+    Head reads are 5-element gathers and the writes 5-element scatters —
+    measured cheap on TPU (they vectorize across the vmapped batch)."""
+
+    def pop_once(s: SimState) -> SimState:
+        c_idx = jnp.arange(N_CHAINS)
+        head_pos = s.pos[c_idx, s.head]
+        head_active = s.active[c_idx, s.head]
+        done = head_active & (head_pos > _CHAIN_LEN)
+        travel = s.t - s.depart_t[c_idx, s.head]
+        loss = jnp.maximum(travel - _FREEFLOW_TT, 0.0)
+        waited = s.wait[c_idx, s.head]
+        d = done.astype(jnp.float32)
+        return s._replace(
+            active=s.active.at[c_idx, s.head].set(head_active & ~done),
+            pos=s.pos.at[c_idx, s.head].set(jnp.where(done, 1e9, head_pos)),
+            head=jnp.where(done, (s.head + 1) % SLOTS, s.head),
+            count=jnp.where(done, s.count - 1, s.count),
+            arrived=s.arrived + d.sum(),
+            travel_sum=s.travel_sum + (d * travel).sum(),
+            loss_sum=s.loss_sum + (d * loss).sum(),
+            wait_sum=s.wait_sum + (d * waited).sum(),
+        )
+
+    return pop_once(pop_once(state))
+
+
+def _spawn(state: SimState, cfg_dt: float = 1.0) -> SimState:
+    """Demand arrival + insertion at chain starts (departSpeed=max,
+    blocked insertions accumulate in `pending` = loaded-not-inserted)."""
+    main, ramp, off, pen = (state.demand[0], state.demand[1],
+                            state.demand[2], state.demand[3])
+    rate_vps = jnp.stack([main / 3.0, main / 3.0, main / 3.0, ramp, off]) / 3600.0
+    pending = state.pending + rate_vps * cfg_dt
+    loaded = state.loaded + jnp.sum(rate_vps) * cfg_dt
+
+    c_idx = jnp.arange(N_CHAINS)
+    tail = (state.head + state.count) % SLOTS
+    tail_prev = (tail - 1) % SLOTS
+    prev_active = state.active[c_idx, tail_prev] & (state.count > 0)
+    prev_pos = jnp.where(prev_active, state.pos[c_idx, tail_prev], jnp.inf)
+    entry_gap = prev_pos - VEH_LENGTH_M  # gap from x=0 to the last vehicle
+
+    can = (pending >= 1.0) & (entry_gap > SPACING_M) & (state.count < SLOTS - 2)
+    v_entry = jnp.minimum(_SEG_SPEED[:, 0], entry_gap / IDM_T)
+    rng, r_con = jax.random.split(state.rng)
+    is_con = jax.random.uniform(r_con, (N_CHAINS,)) < pen
+
+    canf = can.astype(jnp.float32)
+    return state._replace(
+        pos=state.pos.at[c_idx, tail].set(
+            jnp.where(can, 0.0, state.pos[c_idx, tail])),
+        speed=state.speed.at[c_idx, tail].set(
+            jnp.where(can, v_entry, state.speed[c_idx, tail])),
+        active=state.active.at[c_idx, tail].set(
+            state.active[c_idx, tail] | can),
+        connected=state.connected.at[c_idx, tail].set(
+            jnp.where(can, is_con, state.connected[c_idx, tail])),
+        depart_t=state.depart_t.at[c_idx, tail].set(
+            jnp.where(can, state.t, state.depart_t[c_idx, tail])),
+        wait=state.wait.at[c_idx, tail].set(
+            jnp.where(can, 0.0, state.wait[c_idx, tail])),
+        count=state.count + can.astype(jnp.int32),
+        pending=pending - canf,
+        departed=state.departed + canf.sum(),
+        loaded=loaded,
+        rng=rng,
+    )
+
+
+def step_1s(state: SimState) -> SimState:
+    """One simulation second: physics substeps, detectors, exits, spawns."""
+    pos_prev = state.pos
+    for _ in range(SUBSTEPS):
+        state = _substep(state)
+    state = state._replace(t=state.t + 1.0)
+    state = _detector_pass(state, pos_prev)
+    state = _pop_arrivals(state)
+    state = _spawn(state)
+    return state
+
+
+def clear_cycle_accumulators(state: SimState) -> SimState:
+    z = jnp.zeros(LOOP_SHAPE, jnp.float32)
+    return state._replace(
+        loop_count=z, loop_speed_sum=z, loop_occ_time=z,
+        interval_s=jnp.zeros((), jnp.float32),
+        sum_queue=jnp.zeros((), jnp.float32),
+    )

@@ -1,0 +1,180 @@
+"""Fully-fused on-TPU training: batched sim + learner in one XLA program.
+
+The reference's wall-clock is bounded by ~40 TraCI round-trips per
+transition (SURVEY.md §6 'hard parts'); its learner idles waiting on SUMO.
+Here the actor IS device code (sim/env.py), so the whole
+  epsilon-greedy act -> 40 s traffic cycle x B envs -> replay insert ->
+  k learner updates
+iteration is a single jitted superstep, scanned on device in chunks. The
+host only sees periodic metric scalars. This is the path that turns the
+TPU's FLOPs into transitions/sec — B envs step in lockstep under vmap and
+the learner trains from HBM replay between cycles.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..agents.dqn import make_learner
+from ..config import Config
+from ..ops.losses import Batch
+from ..runtime import checkpoint
+from ..runtime.metrics import MetricsWriter
+from .env import DeviceRampEnv, EnvState
+
+
+class Carry(NamedTuple):
+    env_states: EnvState
+    obs: jax.Array
+    train_state: object
+    buffer: object
+    rng: jax.Array
+    ep_ret: jax.Array      # [B] running episode returns
+    rew_mean: jax.Array    # [] EMA of finished-episode returns
+    episodes: jax.Array    # [] finished-episode count
+
+
+class DeviceTrainer:
+    def __init__(self, cfg: Config, batch: int | None = None, seed: int = 0):
+        self.cfg = cfg
+        self.batch = batch or max(cfg.hp.n_env, 1)
+        self.env = DeviceRampEnv(cfg.env, self.batch)
+        self.learner = make_learner(cfg)
+        self.rng = jax.random.PRNGKey(seed)
+
+        learner, env, B = self.learner, self.env, self.batch
+
+        def one_iter(carry: Carry, random_actions: bool) -> tuple[Carry, dict]:
+            rng, r_act, r_train = jax.random.split(carry.rng, 3)
+            if random_actions:
+                actions = jax.random.randint(r_act, (B,), 0, env.n_actions)
+            else:
+                actions = learner.select_actions(carry.train_state, carry.obs, r_act)
+            env_states, (obs_final, obs_next, rew, done, _m) = env.step(
+                carry.env_states, actions)
+            buffer = learner.insert(
+                carry.buffer,
+                Batch(obs=carry.obs, action=actions, reward=rew,
+                      done=done.astype(jnp.float32), next_obs=obs_final),
+            )
+            if random_actions:
+                train_state, metrics = carry.train_state, None
+            else:
+                train_state, buffer, metrics = learner.train_step(
+                    carry.train_state, buffer, r_train)
+
+            ep_ret = carry.ep_ret + rew
+            n_done = done.sum()
+            done_ret = jnp.where(done, ep_ret, 0.0).sum()
+            rew_mean = jnp.where(
+                n_done > 0,
+                0.9 * carry.rew_mean + 0.1 * done_ret / jnp.maximum(n_done, 1),
+                carry.rew_mean,
+            )
+            new_carry = Carry(
+                env_states=env_states, obs=obs_next,
+                train_state=train_state, buffer=buffer, rng=rng,
+                ep_ret=jnp.where(done, 0.0, ep_ret),
+                rew_mean=rew_mean,
+                episodes=carry.episodes + n_done,
+            )
+            out = {
+                "reward": rew.mean(),
+                "loss": metrics.loss if metrics is not None else jnp.zeros(()),
+                "epsilon": metrics.epsilon if metrics is not None else jnp.ones(()),
+            }
+            return new_carry, out
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def warm_chunk(carry: Carry, n: int = 8):
+            def body(c, _):
+                return one_iter(c, True)
+            return jax.lax.scan(body, carry, None, length=n)[0]
+
+        @jax.jit
+        def train_chunk(carry: Carry):
+            def body(c, _):
+                return one_iter(c, False)
+            carry, outs = jax.lax.scan(body, carry, None, length=self.CHUNK)
+            last = jax.tree_util.tree_map(lambda x: x[-1], outs)
+            last["reward"] = outs["reward"].mean()
+            return carry, last
+
+        self._warm_chunk = warm_chunk
+        self._train_chunk = train_chunk
+
+    CHUNK = 16
+
+    def init_carry(self) -> Carry:
+        self.rng, r_env, r_state = jax.random.split(self.rng, 3)
+        env_states, obs = self.env.reset(r_env)
+        return Carry(
+            env_states=env_states, obs=obs,
+            train_state=self.learner.init_state(r_state),
+            buffer=self.learner.init_buffer(),
+            rng=jax.random.fold_in(self.rng, 7),
+            ep_ret=jnp.zeros((self.batch,), jnp.float32),
+            rew_mean=jnp.zeros(()),
+            episodes=jnp.zeros(()),
+        )
+
+    def run(self, log: bool = True) -> Carry:
+        cfg = self.cfg
+        carry = self.init_carry()
+        writer = MetricsWriter(cfg.hp.log_dir, checkpoint.run_name(cfg) + "_device") \
+            if log else None
+
+        warm_iters = max(1, cfg.hp.min_mem // self.batch)
+        done_warm = 0
+        while done_warm < warm_iters:
+            n = min(8, warm_iters - done_warm)
+            carry = self._warm_chunk(carry, n)
+            done_warm += n
+
+        total_iters = max(1, cfg.hp.max_total_steps // self.batch)
+        t0 = time.time()
+        it = 0
+        while it < total_iters:
+            carry, out = self._train_chunk(carry)
+            it += self.CHUNK
+            if writer and (it % max(self.CHUNK, (cfg.hp.log_freq // self.batch)
+                                    // self.CHUNK * self.CHUNK or self.CHUNK) == 0):
+                jax.block_until_ready(out["loss"])
+                sps = it * self.batch / max(time.time() - t0, 1e-9)
+                writer.scalars(
+                    {
+                        "AvgRew": float(carry.rew_mean),
+                        "Episodes": float(carry.episodes),
+                        "loss": float(out["loss"]),
+                        "epsilon": float(out["epsilon"]),
+                        "cycle_reward": float(out["reward"]),
+                        "env_steps_per_sec": sps,
+                    },
+                    it * self.batch,
+                )
+                print(f"iter {it * self.batch}: rew_ema {float(carry.rew_mean):.2f} "
+                      f"loss {float(out['loss']):.4f} {sps:.1f} env-steps/s")
+        if writer:
+            writer.close()
+        return carry
+
+    def save(self, carry: Carry) -> None:
+        class _S:
+            rew_mean = float(carry.rew_mean)
+            len_mean = float(self.cfg.env.max_agent_steps_per_episode)
+            count = int(carry.episodes)
+
+        checkpoint.save_all(self.cfg, carry.train_state, _S())
+
+
+def train_on_device(cfg: Config, seed: int = 0, batch: int | None = None) -> None:
+    trainer = DeviceTrainer(cfg, batch=batch, seed=seed)
+    carry = trainer.run()
+    trainer.save(carry)
+    print(f"saved {checkpoint.pack_path(cfg)}")

@@ -1,0 +1,136 @@
+"""On-device simulator: geometry, physics sanity, MDP semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_drl_rmc_tpu.config import EnvConfig, ScenarioConfig
+from multimodal_drl_rmc_tpu.sim.env import DeviceRampEnv
+from multimodal_drl_rmc_tpu.sim.geometry import GEO
+
+SHORT = ScenarioConfig(episode_seconds=200.0)
+
+
+@pytest.fixture(scope="module")
+def env():
+    return DeviceRampEnv(EnvConfig(scenario=SHORT), batch=2)
+
+
+@pytest.fixture(scope="module")
+def rolled(env):
+    states, obs0 = env.reset(jax.random.PRNGKey(1))
+    outs = []
+    for i in range(3):
+        states, out = env.step(states, jnp.asarray([4, 4]))
+        outs.append(out)
+    return states, obs0, outs
+
+
+def test_geometry_tables():
+    assert GEO.chain_length[0] == pytest.approx(1211.67, abs=0.01)
+    assert GEO.chain_length[3] == pytest.approx(633.81, abs=0.01)
+    assert GEO.chain_length[4] == pytest.approx(562.11, abs=0.01)
+    assert GEO.merge_offset == pytest.approx(577.86, abs=0.01)
+    assert GEO.stop_line[3] == pytest.approx(204.44, abs=0.01)
+    names = list(GEO.loop_names)
+    i = names.index("up_stream_sens_0")
+    assert GEO.loop_chain[i] == 0
+    assert GEO.loop_pos[i] == pytest.approx(225.64 + 110.83 + 453.40, abs=0.01)
+    j = names.index("bottle_neck_sens_0")
+    assert GEO.loop_chain[j] == 3
+    assert GEO.loop_pos[j] == pytest.approx(246.95 + 58.75, abs=0.01)
+    k = names.index("bottle_neck_sens_1")
+    assert GEO.loop_chain[k] == 0
+    m = names.index("outflow_sens_0@ramp")
+    assert GEO.loop_chain[m] == 3
+
+
+def test_reset_shapes_and_determinism(env):
+    s1, o1 = env.reset(jax.random.PRNGKey(0))
+    s2, o2 = env.reset(jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert o1.shape == (2, 284)
+    assert np.all(np.isfinite(np.asarray(o1)))
+    # 5 s warm-up after reset (host controller parity).
+    np.testing.assert_allclose(np.asarray(s1.sim.t), 5.0)
+
+
+def test_step_advances_and_rewards_finite(rolled):
+    states, _, outs = rolled
+    np.testing.assert_allclose(np.asarray(states.sim.t), 5.0 + 3 * 40.0)
+    for _, _, rew, done, _ in outs:
+        r = np.asarray(rew)
+        assert np.all(np.isfinite(r))
+        assert np.all(r <= 3.0) and np.all(r >= -26.0)  # reward bounds
+        assert not np.any(np.asarray(done))
+
+
+def test_vehicle_conservation(rolled):
+    states, _, _ = rolled
+    sim = states.sim
+    active = np.asarray(sim.active.sum(axis=(1, 2)), np.float32)
+    departed = np.asarray(sim.departed)
+    arrived = np.asarray(sim.arrived)
+    np.testing.assert_allclose(departed - arrived, active, atol=0.5)
+    assert np.all(arrived >= 0)
+    # Demand was loaded at the drawn rates (125 s elapsed).
+    loaded = np.asarray(sim.loaded)
+    demand = np.asarray(sim.demand)
+    expect = (demand[:, 0] + demand[:, 1] + demand[:, 2]) / 3600.0 * 125.0
+    np.testing.assert_allclose(loaded, expect, rtol=0.05)
+
+
+def test_obs_macro_in_unit_range(rolled):
+    _, _, outs = rolled
+    obs = np.asarray(outs[-1][1])
+    assert obs.shape == (2, 284)
+    macro = obs[:, :14]
+    assert np.all(macro >= 0.0) and np.all(macro <= 1.0)
+    grid = obs[:, 14:].reshape(2, 27, 5, 2)
+    assert set(np.unique(grid[:, :, :, 1])) <= {0.0, 1.0}
+
+
+def test_metering_controls_queue():
+    cfg = EnvConfig(scenario=ScenarioConfig(episode_seconds=3600.0))
+    env = DeviceRampEnv(cfg, batch=1)
+
+    def run(action_idx, n=8):
+        states, _ = env.reset(jax.random.PRNGKey(3))
+        qs = []
+        for _ in range(n):
+            states, (_, _, _, _, m) = env.step(states, jnp.asarray([action_idx]))
+            qs.append(float(np.asarray(m.ramp_queue_veh)[0]))
+        return qs, states
+
+    q_red, s_red = run(0)    # 5 s green / 35 s red
+    q_green, s_green = run(7)  # 40 s green
+    # Short green -> queue builds much higher than full green.
+    assert q_red[-1] > q_green[-1] + 2.0
+    # Emergent capacity drop: unmetered merging congests the bottleneck, so
+    # restrictive metering yields at least comparable corridor throughput
+    # (the premise of ramp metering; observed: metered strictly higher).
+    arr_red = float(np.asarray(s_red.sim.arrived)[0])
+    arr_green = float(np.asarray(s_green.sim.arrived)[0])
+    assert arr_red >= 0.95 * arr_green
+
+
+def test_episode_auto_reset():
+    env = DeviceRampEnv(EnvConfig(scenario=SHORT), batch=1)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    dones = []
+    for _ in range(6):
+        states, (_, obs_next, _, done, _) = env.step(states, jnp.asarray([3]))
+        dones.append(bool(np.asarray(done)[0]))
+    # Episode ends on the 5th cycle (5 + 5*40 >= 200), then auto-resets.
+    assert dones[4] and not dones[0]
+    np.testing.assert_allclose(np.asarray(states.sim.t), 5.0 + 40.0)
+
+
+def test_determinism_across_runs(env):
+    s1, _ = env.reset(jax.random.PRNGKey(9))
+    s2, _ = env.reset(jax.random.PRNGKey(9))
+    a = jnp.asarray([2, 6])
+    _, out1 = env.step(s1, a)
+    _, out2 = env.step(s2, a)
+    np.testing.assert_array_equal(np.asarray(out1[2]), np.asarray(out2[2]))
