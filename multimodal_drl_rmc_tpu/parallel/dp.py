@@ -11,11 +11,14 @@ so no priority traffic ever crosses chips.
 
 All cross-chip communication is the single gradient pmean (plus metric
 means), which XLA lowers to ICI all-reduces.
+
+``make_local_fns`` exposes the per-device bodies so the fused multi-chip
+device-sim trainer (sim/distributed.py) composes the same learner shards
+with on-device environments sharded over the same mesh.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -23,33 +26,41 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import Config
 from ..agents.dqn import ALGO_FLAGS, Metrics, TrainState
+from ..config import Config
 from ..models.networks import build_network, greedy_fn, init_params
 from ..ops import replay
 from ..ops.losses import Batch, beta_schedule, dqn_loss, epsilon_schedule, polyak_update
 
 
-class DPLearner(NamedTuple):
-    cfg: Config
-    mesh: Mesh
+class LocalFns(NamedTuple):
+    """Per-device bodies shared by the host DP learner and the fused
+    multi-chip device-sim trainer (sim/distributed.py). ``local_train``
+    contains the gradient pmean and must run inside shard_map over
+    ``axis``; the rest are collective-free."""
+
     net: Any
-    init_state: Any     # (rng) -> TrainState (replicated)
-    init_buffer: Any    # () -> sharded replay pytree
-    insert: Any         # (buffer, batch[B,...]) -> buffer   (B divisible by ndev)
-    train_step: Any     # (state, buffer, rng) -> (state, buffer, Metrics)
-    select_actions: Any
-    is_per: bool
+    tx: Any
+    local_bs: int
+    local_cap: int
+    per: bool
+    obs_size: int
+    n_actions: int
+    buf_specs: Any
+    local_init_buffer: Any   # () -> one replay shard pytree
+    local_insert: Any        # (buffer, batch) -> buffer
+    local_train: Any         # (state, buffer, rng) -> (state, buffer, Metrics)
+    greedy: Any
+    select_actions: Any      # (state, obs, rng) -> actions
 
 
-def make_dp_learner(cfg: Config, mesh: Mesh, axis: str = "dp") -> DPLearner:
+def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
     hp = cfg.hp
     double, dueling, per = ALGO_FLAGS[hp.algo]
     spec = cfg.net
     if spec.dueling != dueling:
         spec = type(spec)(**{**spec.__dict__, "dueling": dueling})
 
-    ndev = mesh.shape[axis]
     if hp.batch_size % ndev:
         raise ValueError(f"batch_size {hp.batch_size} not divisible by mesh size {ndev}")
     if hp.max_mem % ndev:
@@ -66,9 +77,6 @@ def make_dp_learner(cfg: Config, mesh: Mesh, axis: str = "dp") -> DPLearner:
     obs_dtype = jnp.dtype(hp.obs_dtype)
     gamma_n = hp.gamma ** hp.n_step
 
-    rep = NamedSharding(mesh, P())
-    shard0 = NamedSharding(mesh, P(axis))
-
     def _buffer_specs():
         """PartitionSpecs for the replay pytree: arrays shard on capacity,
         ptr/size are identical per shard (symmetric inserts) -> replicated."""
@@ -77,74 +85,25 @@ def make_dp_learner(cfg: Config, mesh: Mesh, axis: str = "dp") -> DPLearner:
             next_obs=P(axis), ptr=P(), size=P(),
         )
         if per:
-            import multimodal_drl_rmc_tpu.ops.sum_tree as st_mod  # noqa: F401
             from ..ops.sum_tree import SumTreeState
+
             return replay.PerReplayData(
                 data=data_spec,
                 tree=SumTreeState(sum_tree=P(axis), max_tree=P(axis), min_tree=P(axis)),
             )
         return data_spec
 
-    buf_specs = _buffer_specs()
-
-    def init_state(rng: jax.Array) -> TrainState:
-        params = init_params(net, obs_size, rng)
-        state = TrainState(
-            params=params,
-            target_params=jax.tree_util.tree_map(jnp.copy, params),
-            opt_state=tx.init(params),
-            step=jnp.zeros((), jnp.int32),
-            episode_count=jnp.zeros((), jnp.int32),
-        )
-        return jax.device_put(state, rep)
-
-    def init_buffer():
-        """Each shard is an independent local buffer of capacity/ndev."""
-
-        def local_init():
-            if per:
-                return replay.init_per(local_cap, obs_size, obs_dtype)
-            return replay.init(local_cap, obs_size, obs_dtype)
-
-        shards = jax.eval_shape(local_init)
-
-        def alloc(shape_dtype, spec_leaf):
-            shape = list(shape_dtype.shape)
-            if spec_leaf == P(axis):
-                shape[0] *= ndev
-            return jax.device_put(
-                jnp.zeros(shape, shape_dtype.dtype), NamedSharding(mesh, spec_leaf)
-            )
-
-        buf = jax.tree_util.tree_map(alloc, shards, buf_specs)
+    def local_init_buffer():
         if per:
-            # min trees start at +inf
-            inf = jnp.full(buf.tree.min_tree.shape, jnp.inf, jnp.float32)
-            buf = buf._replace(
-                tree=buf.tree._replace(min_tree=jax.device_put(inf, shard0))
-            )
-        return buf
+            return replay.init_per(local_cap, obs_size, obs_dtype)
+        return replay.init(local_cap, obs_size, obs_dtype)
 
-    # ------------------------------------------------------------------
-    # shard_map bodies: run per-device on local shards
-    # ------------------------------------------------------------------
-
-    def _local_insert(buffer, batch: Batch):
+    def local_insert(buffer, batch: Batch):
         if per:
             return replay.per_insert(buffer, batch, hp.per_max_priority)
         return replay.insert(buffer, batch)
 
-    insert_sm = jax.jit(
-        jax.shard_map(
-            _local_insert,
-            mesh=mesh,
-            in_specs=(buf_specs, Batch(P(axis), P(axis), P(axis), P(axis), P(axis))),
-            out_specs=buf_specs,
-        ),
-        donate_argnums=(0,),
-    )
-
-    def _local_train(state: TrainState, buffer, rng: jax.Array):
+    def local_train(state: TrainState, buffer, rng: jax.Array):
         my = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(rng, my)
         if per:
@@ -191,22 +150,10 @@ def make_dp_learner(cfg: Config, mesh: Mesh, axis: str = "dp") -> DPLearner:
             step.astype(jnp.float32), hp.n_env,
             hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
         )
-        metrics = Metrics(loss=loss, mean_q=jax.lax.pmean(jnp.mean(abs_td), axis), epsilon=eps)
+        metrics = Metrics(
+            loss=loss, mean_q=jax.lax.pmean(jnp.mean(abs_td), axis), epsilon=eps)
         return new_state, buffer, metrics
 
-    state_specs = TrainState(P(), P(), P(), P(), P())
-    train_sm = jax.jit(
-        jax.shard_map(
-            _local_train,
-            mesh=mesh,
-            in_specs=(state_specs, buf_specs, P()),
-            out_specs=(state_specs, buf_specs, Metrics(P(), P(), P())),
-            check_vma=False,
-        ),
-        donate_argnums=(0, 1),
-    )
-
-    @jax.jit
     def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
         eps = epsilon_schedule(
             state.step.astype(jnp.float32), hp.n_env,
@@ -218,14 +165,96 @@ def make_dp_learner(cfg: Config, mesh: Mesh, axis: str = "dp") -> DPLearner:
         explore = jax.random.uniform(rng_u, greedy_a.shape) <= eps
         return jnp.where(explore, rand_a, greedy_a)
 
+    return LocalFns(
+        net=net, tx=tx, local_bs=local_bs, local_cap=local_cap, per=per,
+        obs_size=obs_size, n_actions=n_actions,
+        buf_specs=_buffer_specs(), local_init_buffer=local_init_buffer,
+        local_insert=local_insert, local_train=local_train,
+        greedy=greedy, select_actions=select_actions,
+    )
+
+
+class DPLearner(NamedTuple):
+    cfg: Config
+    mesh: Mesh
+    net: Any
+    init_state: Any     # (rng) -> TrainState (replicated)
+    init_buffer: Any    # () -> sharded replay pytree
+    insert: Any         # (buffer, batch[B,...]) -> buffer   (B divisible by ndev)
+    train_step: Any     # (state, buffer, rng) -> (state, buffer, Metrics)
+    select_actions: Any
+    is_per: bool
+
+
+def init_sharded_buffer(fns: LocalFns, mesh: Mesh, axis: str = "dp"):
+    """Globally-sharded replay allocation: ndev independent local shards."""
+    ndev = mesh.shape[axis]
+    shards = jax.eval_shape(fns.local_init_buffer)
+
+    def alloc(shape_dtype, spec_leaf):
+        shape = list(shape_dtype.shape)
+        if spec_leaf == P(axis):
+            shape[0] *= ndev
+        return jax.device_put(
+            jnp.zeros(shape, shape_dtype.dtype), NamedSharding(mesh, spec_leaf)
+        )
+
+    buf = jax.tree_util.tree_map(alloc, shards, fns.buf_specs)
+    if fns.per:
+        inf = jnp.full(buf.tree.min_tree.shape, jnp.inf, jnp.float32)
+        buf = buf._replace(
+            tree=buf.tree._replace(
+                min_tree=jax.device_put(inf, NamedSharding(mesh, P(axis))))
+        )
+    return buf
+
+
+def make_dp_learner(cfg: Config, mesh: Mesh, axis: str = "dp") -> DPLearner:
+    ndev = mesh.shape[axis]
+    fns = make_local_fns(cfg, ndev, axis)
+    rep = NamedSharding(mesh, P())
+
+    def init_state(rng: jax.Array) -> TrainState:
+        params = init_params(fns.net, fns.obs_size, rng)
+        state = TrainState(
+            params=params,
+            target_params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=fns.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            episode_count=jnp.zeros((), jnp.int32),
+        )
+        return jax.device_put(state, rep)
+
+    insert_sm = jax.jit(
+        jax.shard_map(
+            fns.local_insert,
+            mesh=mesh,
+            in_specs=(fns.buf_specs, Batch(P(axis), P(axis), P(axis), P(axis), P(axis))),
+            out_specs=fns.buf_specs,
+        ),
+        donate_argnums=(0,),
+    )
+
+    state_specs = TrainState(P(), P(), P(), P(), P())
+    train_sm = jax.jit(
+        jax.shard_map(
+            fns.local_train,
+            mesh=mesh,
+            in_specs=(state_specs, fns.buf_specs, P()),
+            out_specs=(state_specs, fns.buf_specs, Metrics(P(), P(), P())),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+
     return DPLearner(
         cfg=cfg,
         mesh=mesh,
-        net=net,
+        net=fns.net,
         init_state=init_state,
-        init_buffer=init_buffer,
+        init_buffer=lambda: init_sharded_buffer(fns, mesh, axis),
         insert=insert_sm,
         train_step=train_sm,
-        select_actions=select_actions,
-        is_per=per,
+        select_actions=jax.jit(fns.select_actions),
+        is_per=fns.per,
     )

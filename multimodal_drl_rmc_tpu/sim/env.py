@@ -200,6 +200,52 @@ class EnvState(NamedTuple):
     last_action_sec: jax.Array  # [] f32
 
 
+def make_env_fns(cfg: EnvConfig):
+    """Single-env pure functions (reset_one, obs_one, step_one).
+
+    ``step_one`` simulates one full control cycle and auto-resets at
+    episode end; it is vmapped by DeviceRampEnv and shard_mapped by the
+    multi-chip trainer (sim/distributed.py).
+    """
+    actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
+    cyc = int(cfg.cycle_seconds)
+    episode_s = cfg.scenario.episode_seconds
+    scen = cfg.scenario
+
+    def reset_one(rng: jax.Array) -> EnvState:
+        return EnvState(reset(rng, scen), actions_sec[0])
+
+    def obs_one(es: EnvState) -> jax.Array:
+        return observation(es.sim, es.last_action_sec, cfg)
+
+    def step_one(es: EnvState, action: jax.Array):
+        green = actions_sec[jnp.clip(action, 0, len(actions_sec) - 1)]
+        sim = clear_cycle_accumulators(es.sim)
+
+        def body(s, i):
+            s = s._replace(phase=jnp.where(i < green, GREEN, RED).astype(jnp.int32))
+            return step_1s(s), None
+
+        sim, _ = jax.lax.scan(body, sim, jnp.arange(cyc, dtype=jnp.float32))
+        m = cycle_metrics(sim, cfg.cycle_seconds)
+        rew = reward(m, cfg)
+        done = sim.t >= episode_s
+        es_next = EnvState(sim, green)
+        obs = observation(sim, green, cfg)
+
+        # Auto-reset on episode end (fresh demand draw from the env rng).
+        rng_next = jax.random.fold_in(sim.rng, 1)
+        fresh = reset_one(rng_next)
+        es_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, b, a
+            ), es_next, fresh)
+        obs_out = jnp.where(done, obs_one(fresh), obs)
+        return es_out, (obs, obs_out, rew, done, m)
+
+    return reset_one, obs_one, step_one
+
+
 class DeviceRampEnv:
     """Batched on-device env: ``reset(rng)`` / ``step(state, actions)``.
 
@@ -211,41 +257,7 @@ class DeviceRampEnv:
         self.cfg = cfg
         self.batch = batch
         self.actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
-        cyc = int(cfg.cycle_seconds)
-        episode_s = cfg.scenario.episode_seconds
-        scen = cfg.scenario
-
-        def reset_one(rng: jax.Array) -> EnvState:
-            return EnvState(reset(rng, scen), self.actions_sec[0])
-
-        def obs_one(es: EnvState) -> jax.Array:
-            return observation(es.sim, es.last_action_sec, cfg)
-
-        def step_one(es: EnvState, action: jax.Array):
-            green = self.actions_sec[jnp.clip(action, 0, len(self.actions_sec) - 1)]
-            sim = clear_cycle_accumulators(es.sim)
-
-            def body(s, i):
-                s = s._replace(phase=jnp.where(i < green, GREEN, RED).astype(jnp.int32))
-                return step_1s(s), None
-
-            sim, _ = jax.lax.scan(body, sim, jnp.arange(cyc, dtype=jnp.float32))
-            m = cycle_metrics(sim, cfg.cycle_seconds)
-            rew = reward(m, cfg)
-            done = sim.t >= episode_s
-            es_next = EnvState(sim, green)
-            obs = observation(sim, green, cfg)
-
-            # Auto-reset on episode end (fresh demand draw from the env rng).
-            rng_next = jax.random.fold_in(sim.rng, 1)
-            fresh = reset_one(rng_next)
-            es_out = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(
-                    jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, b, a
-                ), es_next, fresh)
-            obs_out = jnp.where(done, obs_one(fresh), obs)
-            return es_out, (obs, obs_out, rew, done, m)
-
+        reset_one, obs_one, step_one = make_env_fns(cfg)
         self._reset = jax.jit(jax.vmap(reset_one))
         self._obs = jax.jit(jax.vmap(obs_one))
         self._step = jax.jit(jax.vmap(step_one))
