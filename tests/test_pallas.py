@@ -1,0 +1,87 @@
+"""Pallas kernel parity tests (run in interpret mode on the CPU mesh;
+compiled on real TPU by the same entry points)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_drl_rmc_tpu.config import EnvConfig, NetworkSpec, ScenarioConfig
+from multimodal_drl_rmc_tpu.models.networks import build_network, greedy_fn, init_params
+from multimodal_drl_rmc_tpu.ops.pallas.dueling import dueling_greedy_actions
+from multimodal_drl_rmc_tpu.ops.pallas.sim_step import fused_substeps
+from multimodal_drl_rmc_tpu.sim import core
+
+
+def test_dueling_greedy_matches_xla():
+    net = build_network(NetworkSpec(), 8)
+    params = init_params(net, 284, jax.random.PRNGKey(0))
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (32, 284))
+    ref = greedy_fn(net)(params, obs)
+    adv = params["params"]["fc_adv"]
+    feat = net.apply(params, obs, method=lambda m, x: m.trunk(x))
+    fused = dueling_greedy_actions(feat, adv["kernel"], adv["bias"],
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+
+
+def test_dueling_greedy_tie_break_lowest_index():
+    feat = jnp.ones((4, 16), jnp.float32)
+    w = jnp.zeros((16, 8), jnp.float32)       # all-equal advantages
+    b = jnp.zeros((8,), jnp.float32)
+    out = dueling_greedy_actions(feat, w, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.zeros(4, np.int32))
+
+
+@pytest.fixture(scope="module")
+def traffic_states():
+    cfg = EnvConfig(scenario=ScenarioConfig(episode_seconds=3600.0))
+    vreset = jax.jit(jax.vmap(lambda r: core.reset(r, cfg.scenario)))
+    sims = vreset(jax.random.split(jax.random.PRNGKey(0), 4))
+
+    def adv(s):
+        def body(ss, _):
+            return core.step_1s(ss), None
+        return jax.lax.scan(body, s, None, length=50)[0]
+
+    return jax.jit(jax.vmap(adv))(sims)
+
+
+def test_fused_substeps_matches_xla(traffic_states):
+    sims = traffic_states
+
+    def two_sub(s):
+        return core._substep(core._substep(s))
+
+    ref = jax.jit(jax.vmap(two_sub))(sims)
+    red = (sims.phase == core.RED).astype(jnp.float32)
+    pos, speed, wait = fused_substeps(
+        sims.pos, sims.speed, sims.active.astype(jnp.float32), sims.wait,
+        sims.head, red, block=1, interpret=True,
+    )
+    act = np.asarray(sims.active)
+    np.testing.assert_allclose(
+        np.where(act, np.asarray(ref.pos), 0.0),
+        np.where(act, np.asarray(pos), 0.0), atol=1e-4)
+    np.testing.assert_allclose(
+        np.where(act, np.asarray(ref.speed), 0.0),
+        np.where(act, np.asarray(speed), 0.0), atol=1e-4)
+    np.testing.assert_allclose(
+        np.where(act, np.asarray(ref.wait), 0.0),
+        np.where(act, np.asarray(wait), 0.0), atol=1e-4)
+
+
+def test_fused_substeps_red_phase_holds_stop_line(traffic_states):
+    """With phase forced red, no ramp vehicle crosses the stop line."""
+    sims = traffic_states
+    red = jnp.ones((4,), jnp.float32)
+    before = np.asarray(sims.pos[:, 3, :])
+    act = np.asarray(sims.active[:, 3, :])
+    stop = float(core._STOP_LINE[3])
+    behind = act & (before < stop)
+    pos, _, _ = fused_substeps(
+        sims.pos, sims.speed, sims.active.astype(jnp.float32), sims.wait,
+        sims.head, red, block=1, interpret=True,
+    )
+    after = np.asarray(pos[:, 3, :])
+    assert np.all(after[behind] <= stop + 0.5)
