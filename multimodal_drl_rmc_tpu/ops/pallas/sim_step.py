@@ -36,7 +36,7 @@ from ...sim.geometry import GEO, N_CHAINS, SLOTS, VEH_LENGTH_M
 
 IDM_A = 2.6
 IDM_B = 4.5
-IDM_T = 1.5
+IDM_T = 1.2
 IDM_DELTA = 4.0
 IDM_S0 = 2.5
 DT_SUB = 0.5

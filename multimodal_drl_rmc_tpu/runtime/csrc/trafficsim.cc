@@ -36,7 +36,7 @@ constexpr double kSpacing = kVehLen + kMinGap;
 // IDM (same constants as sim/core.py).
 constexpr double kIdmA = 2.6;
 constexpr double kIdmB = 4.5;
-constexpr double kIdmT = 1.5;
+constexpr double kIdmT = 1.2;
 constexpr double kIdmDelta = 4.0;
 constexpr double kEmergencyB = 9.0;
 constexpr int kSubsteps = 2;

@@ -11,14 +11,15 @@ with zero host round-trips (sim/env.py, sim/train_on_device.py).
 Model:
   * 5 FIFO lane-chains (sim/geometry.py) as ring buffers — no sorting, no
     dynamic shapes. A slot's leader is slot-1; the head's leader is +inf.
-  * IDM car-following (continuous, vectorizable; T tuned so lane capacity
-    ~1900 veh/h matches the reference's normalization constant
-    MAX_LANE_FLOW_VPH, utils.py / EnvConfig).
+  * IDM car-following (continuous, vectorizable; T=1.2 s for ~2200 veh/h
+    free-flow lane capacity, comparable to SUMO Krauss with the reference
+    vType params — so the corridor bottleneck forms at the merge, not the
+    entry).
   * The ramp meter is a stationary virtual leader at the stop line while
     the phase is red.
   * Zipper-merge coupling between the ramp chain and mainline lane 0 over
-    the acceleration area: pairwise cross-leader search (a [N, N] masked
-    min — a few MB of VPU work, trivially parallel).
+    the acceleration area via binned suffix-min cross-leader search
+    (O(N + bins) per step).
   * Induction loops integrate crossings/occupancy in chain coordinates with
     the same aggregation the host backends expose (envs/backend.py).
 
@@ -47,10 +48,10 @@ from .geometry import (
 )
 
 # IDM parameters (accel/decel from the reference vType defs,
-# sumo_env.py:611-612; T chosen for ~1900 veh/h/lane capacity).
+# sumo_env.py:611-612; T chosen for ~2200 veh/h/lane free-flow capacity).
 IDM_A = 2.6
 IDM_B = 4.5
-IDM_T = 1.5
+IDM_T = 1.2
 IDM_DELTA = 4.0
 IDM_S0 = MIN_GAP_M
 SUBSTEPS = 2
