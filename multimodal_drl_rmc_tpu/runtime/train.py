@@ -46,6 +46,7 @@ def build_config(args) -> Config:
         save_dir=args.save_dir, log_dir=args.log_dir, load=args.load,
         repeat=args.repeat, max_episode_steps=args.max_episode_steps,
         max_total_steps=args.max_total_steps, algo=args.algo,
+        n_step=args.n_step,
     )
     return Config(env=env, hp=hp, net=network_spec_for_variant(args.obs_variant))
 
@@ -68,6 +69,13 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed)
         self.state = self.learner.init_state(self._split())
         self.buffer = self.learner.init_buffer()
+        self.nstep = None
+        self._stage = []
+        self._staged = 0
+        if hp.n_step > 1:
+            from ..ops.nstep import NStepAccumulator
+
+            self.nstep = NStepAccumulator(hp.n_step, hp.gamma, hp.n_env)
         self.stats = EpisodeStats()
         self.metrics = MetricsWriter(hp.log_dir, checkpoint.run_name(cfg))
         self.timer = StepTimer()
@@ -101,14 +109,34 @@ class Trainer:
                     next_obs[i] = info["final_obs"]
         self.stats.push_from_infos(infos)
         with self.timer.phase("insert"):
-            batch = Batch(
-                obs=obses,
-                action=np.asarray(actions, np.int32),
-                reward=np.asarray(rews, np.float32),
-                done=np.asarray(terms, np.float32),
-                next_obs=next_obs,
-            )
-            self.buffer = self.learner.insert(self.buffer, batch)
+            if self.nstep is not None:
+                batch = self.nstep.push(
+                    obses, np.asarray(actions), np.asarray(rews),
+                    np.asarray(terms), next_obs, truncated=np.asarray(truncs),
+                )
+                # Emission counts vary; insert in fixed n_env-sized chunks
+                # so the jitted insert compiles exactly once.
+                if batch is not None:
+                    self._stage.append(batch)
+                    self._staged += batch.obs.shape[0]
+                n = self.cfg.hp.n_env
+                while self._staged >= n:
+                    big = Batch(*(np.concatenate([getattr(b, f) for b in self._stage])
+                                  for f in Batch._fields))
+                    chunk = Batch(*(arr[:n] for arr in big))
+                    rest = Batch(*(arr[n:] for arr in big))
+                    self.buffer = self.learner.insert(self.buffer, chunk)
+                    self._stage = [rest] if rest.obs.shape[0] else []
+                    self._staged -= n
+            else:
+                batch = Batch(
+                    obs=obses,
+                    action=np.asarray(actions, np.int32),
+                    reward=np.asarray(rews, np.float32),
+                    done=np.asarray(terms, np.float32),
+                    next_obs=next_obs,
+                )
+                self.buffer = self.learner.insert(self.buffer, batch)
         return new_obses
 
     def warmup(self) -> np.ndarray:
@@ -221,8 +249,12 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
                         choices=("hybrid", "macro_lane", "macro_no_lane"))
     parser.add_argument("-replay_ratio", type=int, default=1,
                         help="learner updates per env step (fused on device)")
+    parser.add_argument("-n_step", type=int, default=1,
+                        help="n-step returns (1 = reference behavior)")
     parser.add_argument("-threaded", type=str2bool, default=True)
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-profile", type=str, default="",
+                        help="write a jax.profiler trace (xprof) to this dir")
 
 
 def main(argv=None) -> None:
@@ -231,13 +263,20 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
     cfg = build_config(args)
     print("TRAIN", args.algo)
-    if args.backend == "device":
-        from ..sim.train_on_device import train_on_device
+    import contextlib
 
-        train_on_device(cfg, seed=args.seed)
-        return
-    Trainer(cfg, backend=args.backend, threaded=args.threaded,
-            replay_ratio=args.replay_ratio, seed=args.seed).run()
+    import jax as _jax
+
+    profile_cm = (_jax.profiler.trace(args.profile)
+                  if args.profile else contextlib.nullcontext())
+    with profile_cm:
+        if args.backend == "device":
+            from ..sim.train_on_device import train_on_device
+
+            train_on_device(cfg, seed=args.seed)
+            return
+        Trainer(cfg, backend=args.backend, threaded=args.threaded,
+                replay_ratio=args.replay_ratio, seed=args.seed).run()
 
 
 if __name__ == "__main__":

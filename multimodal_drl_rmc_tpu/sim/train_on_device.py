@@ -114,14 +114,23 @@ class DeviceTrainer:
     def init_carry(self) -> Carry:
         self.rng, r_env, r_state = jax.random.split(self.rng, 3)
         env_states, obs = self.env.reset(r_env)
+        train_state = self.learner.init_state(r_state)
+        rew_mean = 0.0
+        episodes = 0
+        if self.cfg.hp.load:
+            train_state, meta = checkpoint.try_resume(self.cfg, train_state)
+            rew_mean = meta.get("rew_mean", 0.0)
+            episodes = meta.get("episode_count", 0)
+            if meta.get("step", 0):
+                print(f"resumed device trainer at step {meta['step']}")
         return Carry(
             env_states=env_states, obs=obs,
-            train_state=self.learner.init_state(r_state),
+            train_state=train_state,
             buffer=self.learner.init_buffer(),
             rng=jax.random.fold_in(self.rng, 7),
             ep_ret=jnp.zeros((self.batch,), jnp.float32),
-            rew_mean=jnp.zeros(()),
-            episodes=jnp.zeros(()),
+            rew_mean=jnp.asarray(rew_mean, jnp.float32),
+            episodes=jnp.asarray(float(episodes)),
         )
 
     def run(self, log: bool = True) -> Carry:

@@ -1,0 +1,78 @@
+"""n-step return accumulation (ops/nstep.py; HyperParams.n_step)."""
+
+import numpy as np
+import pytest
+
+from multimodal_drl_rmc_tpu.ops.nstep import NStepAccumulator
+
+
+def push1(acc, obs, a, r, done, nobs, trunc=False):
+    return acc.push(
+        np.asarray([[obs]], np.float32), np.asarray([a]), np.asarray([r]),
+        np.asarray([done]), np.asarray([[nobs]], np.float32),
+        truncated=np.asarray([trunc]),
+    )
+
+
+def test_three_step_return_hand_computed():
+    g = 0.9
+    acc = NStepAccumulator(3, g, 1)
+    assert push1(acc, 0.0, 0, 1.0, False, 1.0) is None
+    assert push1(acc, 1.0, 1, 2.0, False, 2.0) is None
+    b = push1(acc, 2.0, 2, 4.0, False, 3.0)
+    # First transition matures: R = 1 + 0.9*2 + 0.81*4 = 6.04
+    assert b is not None and b.obs.shape[0] == 1
+    assert b.reward[0] == pytest.approx(1.0 + g * 2.0 + g * g * 4.0)
+    assert b.obs[0, 0] == 0.0 and b.next_obs[0, 0] == 3.0
+    assert b.action[0] == 0 and b.done[0] == 0.0
+    # Next step matures the second transition: R = 2 + 0.9*4 + 0.81*8
+    b = push1(acc, 3.0, 3, 8.0, False, 4.0)
+    assert b.reward[0] == pytest.approx(2.0 + g * 4.0 + g * g * 8.0)
+
+
+def test_terminal_flushes_partial_returns():
+    g = 0.5
+    acc = NStepAccumulator(3, g, 1)
+    push1(acc, 0.0, 0, 1.0, False, 1.0)
+    b = push1(acc, 1.0, 1, 2.0, True, 2.0)
+    # Both pending emit with done=1: R0 = 1 + 0.5*2 = 2, R1 = 2.
+    assert b.obs.shape[0] == 2
+    assert b.reward[0] == pytest.approx(2.0)
+    assert b.reward[1] == pytest.approx(2.0)
+    assert np.all(b.done == 1.0)
+
+
+def test_truncation_discards_pending():
+    acc = NStepAccumulator(3, 0.9, 1)
+    push1(acc, 0.0, 0, 1.0, False, 1.0)
+    b = push1(acc, 1.0, 1, 2.0, False, 2.0, trunc=True)
+    assert b is None
+    assert len(acc.pending[0]) == 0
+
+
+def test_n_step_1_equals_one_step():
+    acc = NStepAccumulator(1, 0.9, 2)
+    b = acc.push(
+        np.zeros((2, 3), np.float32), np.asarray([1, 2]),
+        np.asarray([5.0, 6.0]), np.asarray([False, True]),
+        np.ones((2, 3), np.float32), truncated=np.asarray([False, False]),
+    )
+    assert b.obs.shape == (2, 3)
+    np.testing.assert_allclose(b.reward, [5.0, 6.0])
+    np.testing.assert_allclose(b.done, [0.0, 1.0])
+
+
+def test_trainer_with_nstep(tmp_path):
+    from multimodal_drl_rmc_tpu.config import Config, EnvConfig, HyperParams, ScenarioConfig
+    from multimodal_drl_rmc_tpu.runtime.train import Trainer
+
+    cfg = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=200.0)),
+        hp=HyperParams(algo="DuelingDoubleDQNAgent", batch_size=8, min_mem=12,
+                       max_mem=64, max_total_steps=4, save_freq=0, log_freq=0,
+                       load=False, n_step=3,
+                       save_dir=str(tmp_path) + "/", log_dir=str(tmp_path) + "/"),
+    )
+    trainer = Trainer(cfg, backend="fake", threaded=False)
+    trainer.run()
+    assert int(trainer.state.step) >= 4
