@@ -17,7 +17,7 @@ Design notes (TPU):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import flax.linen as nn
 import jax

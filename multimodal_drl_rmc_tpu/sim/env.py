@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from ..config import EnvConfig
 from .core import GREEN, RED, SimState, clear_cycle_accumulators, reset, step_1s
-from .geometry import GEO, N_CHAINS, SLOTS
+from .geometry import GEO, SLOTS
+
 
 def _idx(names):
     """Loop group as (chain, slot) static index arrays into the [C, K]
@@ -41,11 +42,6 @@ BN_LOOPS = _idx(["bottle_neck_sens_0", "bottle_neck_sens_1",
 DS_LOOPS = _idx(["outflow_sens_0", "outflow_sens_1", "outflow_sens_2",
                  "outflow_sens_0@ramp"])
 DS_N_LANES = 3
-
-
-def _take(pair):
-    """Slice a (chains, slots) group pair -> same-type pair."""
-    return pair
 
 
 def _sub(pair, sl):
