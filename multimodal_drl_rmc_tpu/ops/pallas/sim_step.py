@@ -42,6 +42,11 @@ IDM_S0 = 2.5
 DT_SUB = 0.5
 EMERGENCY_B = 9.0
 BIG = 1e9
+# Merge friction (sim/core.py constants — keep in sync).
+FRICTION_WINDOW_M = 150.0
+FRICTION_N0 = 45.0
+FRICTION_SCALE = 25.0
+FRICTION_ALPHA = 0.8
 
 BINS = 128
 BIN_M = 4.0
@@ -167,8 +172,19 @@ def _substep_body(pos, speed, act, wait, head, red, seg_start, seg_end,
         v0 = v0 + jnp.where((pos >= lo) & (pos < hi), sp, 0.0)
     v0 = jnp.where(v0 > 0, v0, 27.77)
 
+    # Density-dependent merge friction around the merge (chains 0-3;
+    # sim/core._substep parity).
+    fr_lo = MERGE_LO - FRICTION_WINDOW_M
+    pos_common = jnp.where(chain_row == 3, pos + MERGE_OFF, pos)
+    in_window = (act > 0.5) & (pos_common >= fr_lo) & (chain_row != 4)
+    zmask = jnp.where(in_window, 1.0, 0.0)
+    n_zone = jnp.sum(zmask, axis=(1, 2))                         # [BT]
+    friction = 1.0 + FRICTION_ALPHA * jnp.clip(
+        (n_zone - FRICTION_N0) / FRICTION_SCALE, 0.0, 1.0)
+    t_headway = IDM_T * (1.0 + (friction[:, None, None] - 1.0) * zmask)
+
     # IDM acceleration + semi-implicit Euler (identical to sim.core).
-    s_star = IDM_S0 + speed * IDM_T + speed * dv / (2.0 * np.sqrt(IDM_A * IDM_B))
+    s_star = IDM_S0 + speed * t_headway + speed * dv / (2.0 * np.sqrt(IDM_A * IDM_B))
     s_star = jnp.maximum(s_star, IDM_S0)
     g = jnp.maximum(gap, 0.1)
     ratio = speed / jnp.maximum(v0, 0.1)

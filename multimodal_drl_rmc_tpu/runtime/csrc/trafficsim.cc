@@ -41,6 +41,11 @@ constexpr double kIdmDelta = 4.0;
 constexpr double kEmergencyB = 9.0;
 constexpr int kSubsteps = 2;
 constexpr double kDtSub = 0.5;
+// Merge friction (sim/core.py constants — keep in sync).
+constexpr double kFrictionWindow = 150.0;
+constexpr double kFrictionN0 = 45.0;
+constexpr double kFrictionScale = 25.0;
+constexpr double kFrictionAlpha = 0.8;
 
 struct Vehicle {
   double pos = 0.0;
@@ -115,8 +120,9 @@ struct Sim {
   }
 };
 
-double idm_accel(double v, double v0, double gap, double dv) {
-  double s_star = kMinGap + v * kIdmT + v * dv / (2.0 * std::sqrt(kIdmA * kIdmB));
+double idm_accel(double v, double v0, double gap, double dv,
+                 double t_headway = kIdmT) {
+  double s_star = kMinGap + v * t_headway + v * dv / (2.0 * std::sqrt(kIdmA * kIdmB));
   s_star = std::max(s_star, kMinGap);
   gap = std::max(gap, 0.1);
   double acc = kIdmA * (1.0 - std::pow(v / std::max(v0, 0.1), kIdmDelta) -
@@ -149,6 +155,16 @@ bool cross_leader(const Chain& other, double offset, double zone_lo_common,
 
 void substep(Sim& s) {
   double acc[kMaxChains][kSlots];
+  // Density-dependent merge friction around the merge (chains 0-3).
+  double fr_lo = s.merge_zone_lo + s.merge_offset - kFrictionWindow;
+  int n_zone = 0;
+  for (int c = 0; c < std::min(s.n_chains, 4); ++c) {
+    double off = (c == 3) ? s.merge_offset : 0.0;
+    for (int i = 0; i < s.chains[c].count; ++i)
+      if (s.chains[c].at(i).pos + off >= fr_lo) ++n_zone;
+  }
+  double friction = 1.0 + kFrictionAlpha * std::clamp(
+      (n_zone - kFrictionN0) / kFrictionScale, 0.0, 1.0);
   for (int c = 0; c < s.n_chains; ++c) {
     Chain& ch = s.chains[c];
     bool is_ramp = (ch.stop_line < 1e17);
@@ -191,7 +207,10 @@ void substep(Sim& s) {
           }
         }
       }
-      acc[c][i] = idm_accel(v.speed, ch.speed_limit(v.pos), gap, dv);
+      double t_headway = kIdmT;
+      if (c < 4 && v.pos + off >= zone_lo_common - kFrictionWindow)
+        t_headway *= friction;
+      acc[c][i] = idm_accel(v.speed, ch.speed_limit(v.pos), gap, dv, t_headway);
     }
   }
   for (int c = 0; c < s.n_chains; ++c) {

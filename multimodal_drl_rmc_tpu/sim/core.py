@@ -54,6 +54,17 @@ IDM_B = 4.5
 IDM_T = 1.2
 IDM_DELTA = 4.0
 IDM_S0 = MIN_GAP_M
+# Merge friction: crowding around the merge inflates the effective time
+# headway of ALL mainline + ramp vehicles there (the empirical "capacity
+# drop" at on-ramp merges: forced lane changes and gawking slow every
+# lane, not just the merge lane — our chains have no explicit
+# lane-changing, so this is its aggregate effect). This is what gives
+# metering its value: holding ramp vehicles back keeps the merge below
+# the friction knee and preserves mainline throughput.
+FRICTION_WINDOW_M = 150.0  # how far upstream of the merge the count reaches
+FRICTION_N0 = 45.0         # vehicle count where friction starts (~free flow)
+FRICTION_SCALE = 25.0      # count range over which it ramps to full
+FRICTION_ALPHA = 0.8       # max fractional headway increase
 SUBSTEPS = 2
 DT_SUB = 0.5
 EMERGENCY_B = 9.0
@@ -183,8 +194,8 @@ def _speed_limit(pos: jax.Array) -> jax.Array:
     return jnp.where(v0 > 0, v0, 27.77)
 
 
-def _idm_accel(v, v0, gap, dv):
-    s_star = IDM_S0 + v * IDM_T + v * dv / (2.0 * jnp.sqrt(IDM_A * IDM_B))
+def _idm_accel(v, v0, gap, dv, t_headway=IDM_T):
+    s_star = IDM_S0 + v * t_headway + v * dv / (2.0 * jnp.sqrt(IDM_A * IDM_B))
     s_star = jnp.maximum(s_star, IDM_S0)
     gap = jnp.maximum(gap, 0.1)
     acc = IDM_A * (1.0 - (v / jnp.maximum(v0, 0.1)) ** IDM_DELTA - (s_star / gap) ** 2)
@@ -282,8 +293,19 @@ def _substep(state: SimState) -> SimState:
     gap = gap.at[0].set(jnp.where(use0, g0x, gap[0]))
     dv = dv.at[0].set(jnp.where(use0, speed[0] - s0x, dv[0]))
 
+    # Density-dependent merge friction around the merge (chains 0-3; the
+    # off-ramp chain 4 is unaffected).
+    fr_lo = _MERGE_LO_COMMON - FRICTION_WINDOW_M
+    pos_common = pos.at[3].add(GEO.merge_offset)
+    in_window = active & (pos_common >= fr_lo)
+    in_window = in_window.at[4].set(False)
+    n_zone = in_window.sum()
+    friction = 1.0 + FRICTION_ALPHA * jnp.clip(
+        (n_zone - FRICTION_N0) / FRICTION_SCALE, 0.0, 1.0)
+    t_headway = jnp.where(in_window, IDM_T * friction, IDM_T)
+
     v0 = _speed_limit(pos)
-    acc = _idm_accel(speed, v0, gap, dv)
+    acc = _idm_accel(speed, v0, gap, dv, t_headway)
     new_speed = jnp.where(active, jnp.maximum(speed + acc * DT_SUB, 0.0), 0.0)
     new_pos = jnp.where(active, pos + new_speed * DT_SUB, pos)
     new_wait = jnp.where(active & (new_speed < 0.1), state.wait + DT_SUB, state.wait)

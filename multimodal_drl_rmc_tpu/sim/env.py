@@ -150,7 +150,7 @@ def grid_state(state: SimState, cfg: EnvConfig) -> jax.Array:
     row = jnp.clip(((g.total_length_m - dist) / g.cell_length_m).astype(jnp.int32),
                    0, g.rows - 1)
     col_main = jnp.asarray([2, 1, 0, 3], jnp.int32)[chain]
-    on_approach = (chain == 3) & (pos < GEO.merge_zone_lo)
+    on_approach = (chain == 3) & (pos < GEO.ramp_accel_start)
     col = jnp.where(on_approach, 4, col_main)
 
     norm_speed = jnp.clip(speed / cfg.freeflow_speed_mps, 0.0, 1.0)

@@ -53,6 +53,7 @@ class ChainGeometry(NamedTuple):
     stop_line: np.ndarray           # [C] f32 — TL stop line (inf if none)
     merge_offset: float             # chain3 coords + offset = chain0 coords
     merge_zone_lo: float            # chain3 coord where coupling starts
+    ramp_accel_start: float         # chain3 coord where the accel lane begins
     # Detector tables: loop -> (chain, chain position)
     loop_names: tuple
     loop_chain: np.ndarray          # [L] int32
@@ -110,6 +111,12 @@ def build_geometry(spec: ScenarioSpec = RAMP_1X3) -> ChainGeometry:
                         + e["main_road"].length_m)                   # 824.81
     ramp_accel_start = e["on_ramp"].length_m + e["passage_area"].length_m  # 246.95
     merge_offset = main_accel_start - ramp_accel_start               # 577.86
+    # The physical conflict is where the acceleration lane ENDS: ramp
+    # vehicles ride their own lane through most of the accel area and must
+    # zipper into mainline lane 0 over its last stretch.
+    merge_conflict_len = 60.0
+    merge_zone_lo = (ramp_accel_start + e["acceleration_area"].length_m
+                     - merge_conflict_len)                           # 380.74
 
     # Loop positions in chain coordinates. Lane index on acceleration_area:
     # lane 0 is the ramp continuation (chain 3), lanes 1..3 are main 0..2.
@@ -172,7 +179,8 @@ def build_geometry(spec: ScenarioSpec = RAMP_1X3) -> ChainGeometry:
         seg_speed=seg_speed,
         stop_line=stop_line,
         merge_offset=float(merge_offset),
-        merge_zone_lo=float(ramp_accel_start),
+        merge_zone_lo=float(merge_zone_lo),
+        ramp_accel_start=float(ramp_accel_start),
         loop_names=tuple(loop_names),
         loop_chain=np.asarray(loop_chain, np.int32),
         loop_pos=np.asarray(loop_pos, np.float32),
