@@ -260,3 +260,113 @@ def fused_substeps(pos, speed, active, wait, head, red, *,
         interpret=interpret,
     )(pos, speed, active, wait, head, red[:, None],
       seg_start, seg_end, seg_speed, stop)
+
+
+# ---------------------------------------------------------------------------
+# Physics + detector integration in one kernel (sim/core.step_1s hot parts).
+# Loop tables arrive transposed [K, C] so per-slot slices hit the sublane
+# axis (see the segment-table note above).
+# ---------------------------------------------------------------------------
+
+
+def _detector_block(p0, p1, speed, act, loop_kc):
+    """Per-1s-step detector aggregates. p0/p1/speed/act: [BT, C, N];
+    loop_kc: [K, C]. Returns counts/speed_sum/occ_time [BT, C, K]."""
+    k_slots = loop_kc.shape[0]
+    active = act > 0.5
+    dur_unit = jnp.where(
+        active, jnp.minimum(1.0, VEH_LENGTH_M / jnp.maximum(speed, 0.18)), 0.0)
+    counts, speeds, occs = [], [], []
+    for k in range(k_slots):
+        x = loop_kc[k:k + 1, :][:, :, None]          # [1, C, 1]
+        crossed = active & (p0 < x) & (p1 >= x)
+        counts.append(jnp.sum(jnp.where(crossed, 1.0, 0.0), axis=2))
+        speeds.append(jnp.sum(jnp.where(crossed, speed, 0.0), axis=2))
+        covering = (p1 >= x) & (p0 <= x + VEH_LENGTH_M)
+        occs.append(jnp.minimum(
+            jnp.sum(jnp.where(covering, dur_unit, 0.0), axis=2), 1.0))
+    return (jnp.stack(counts, axis=2), jnp.stack(speeds, axis=2),
+            jnp.stack(occs, axis=2))
+
+
+def _step_kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
+                 seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
+                 loop_ref,
+                 pos_out, speed_out, wait_out, cnt_out, spd_out, occ_out,
+                 queue_out, *, substeps: int):
+    pos = pos_ref[:]
+    speed = speed_ref[:]
+    act = act_ref[:]
+    wait = wait_ref[:]
+    head = head_ref[:]
+    red = red_ref[:][:, :, None]
+    seg_start = seg_start_ref[:]
+    seg_end = seg_end_ref[:]
+    seg_speed = seg_speed_ref[:]
+    stop = stop_ref[:]
+    p0 = pos
+    for _ in range(substeps):
+        pos, speed, wait = _substep_body(
+            pos, speed, act, wait, head, red, seg_start, seg_end, seg_speed, stop)
+    cnt, spd, occ = _detector_block(p0, pos, speed, act, loop_ref[:])
+    # Ramp queue: active chain-3 vehicles still on the on_ramp edge.
+    ramp_end = float(GEO.ramp_edge_end)
+    chain_row = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 1)
+    on_ramp = (act > 0.5) & (chain_row == 3) & (pos <= ramp_end)
+    queue_out[:] = jnp.sum(jnp.where(on_ramp, 1.0, 0.0), axis=(1, 2),
+                           keepdims=True)[:, :, 0]
+    pos_out[:] = pos
+    speed_out[:] = speed
+    wait_out[:] = wait
+    cnt_out[:] = cnt
+    spd_out[:] = spd
+    occ_out[:] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("substeps", "block", "interpret"))
+def fused_step(pos, speed, active, wait, head, red, *,
+               substeps: int = 2, block: int = 8, interpret: bool = False):
+    """Physics substeps + detector integration + queue count in one kernel.
+
+    Returns (pos, speed, wait, counts [B,C,K], speed_sum [B,C,K],
+    occ_time [B,C,K], queue [B]).
+    """
+    from ...sim.geometry import LOOPS_PER_CHAIN
+
+    b = pos.shape[0]
+    bt = block if b % block == 0 else b
+    grid = (b // bt,)
+    spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((bt, N_CHAINS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    speck = pl.BlockSpec((bt, N_CHAINS, LOOPS_PER_CHAIN), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    n_seg = _SEG_END.shape[1]
+    seg_spec = pl.BlockSpec((n_seg, N_CHAINS), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    stop_spec = pl.BlockSpec((N_CHAINS, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    loop_spec = pl.BlockSpec((LOOPS_PER_CHAIN, N_CHAINS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    seg_start = jnp.asarray(_SEG_START.T, jnp.float32)
+    seg_end = jnp.asarray(_SEG_END.T, jnp.float32)
+    seg_speed = jnp.asarray(_SEG_SPEED.T, jnp.float32)
+    stop = jnp.asarray(_STOP, jnp.float32).reshape(N_CHAINS, 1)
+    loop_kc = jnp.asarray(GEO.loop_table_pos.T, jnp.float32)
+    shp3 = jax.ShapeDtypeStruct(pos.shape, jnp.float32)
+    shpk = jax.ShapeDtypeStruct((b, N_CHAINS, LOOPS_PER_CHAIN), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_step_kernel, substeps=substeps),
+        out_shape=(shp3, shp3, shp3, shpk, shpk, shpk,
+                   jax.ShapeDtypeStruct((b, 1), jnp.float32)),
+        grid=grid,
+        in_specs=[spec3, spec3, spec3, spec3, spec2, spec1,
+                  seg_spec, seg_spec, seg_spec, stop_spec, loop_spec],
+        out_specs=(spec3, spec3, spec3, speck, speck, speck, spec1),
+        interpret=interpret,
+    )(pos, speed, active, wait, head, red[:, None],
+      seg_start, seg_end, seg_speed, stop, loop_kc)
+    pos, speed, wait, cnt, spd, occ, queue = out
+    return pos, speed, wait, cnt, spd, occ, queue[:, 0]

@@ -459,12 +459,40 @@ def _physics(state: SimState) -> SimState:
     return state._replace(pos=pos[0], speed=speed[0], wait=wait[0])
 
 
+def _step_1s_pallas(state: SimState) -> SimState:
+    """Physics + detector integration fused into one kernel call."""
+    from ..ops.pallas.sim_step import fused_step
+
+    red = (state.phase == RED).astype(jnp.float32)
+    pos, speed, wait, cnt, spd, occ, queue = fused_step(
+        state.pos[None], state.speed[None],
+        state.active.astype(jnp.float32)[None], state.wait[None],
+        state.head[None], red[None], substeps=SUBSTEPS, block=1,
+    )
+    cnt, spd, occ, queue = cnt[0], spd[0], occ[0], queue[0]
+    mean_step_speed = jnp.where(cnt > 0, spd / jnp.maximum(cnt, 1.0), -1.0)
+    return state._replace(
+        pos=pos[0], speed=speed[0], wait=wait[0],
+        t=state.t + 1.0,
+        loop_count=state.loop_count + cnt,
+        loop_speed_sum=state.loop_speed_sum + spd,
+        loop_occ_time=state.loop_occ_time + occ,
+        interval_s=state.interval_s + 1.0,
+        sum_queue=state.sum_queue + queue,
+        loop_step_count=cnt,
+        loop_step_speed=mean_step_speed,
+    )
+
+
 def step_1s(state: SimState) -> SimState:
     """One simulation second: physics substeps, detectors, exits, spawns."""
-    pos_prev = state.pos
-    state = _physics(state)
-    state = state._replace(t=state.t + 1.0)
-    state = _detector_pass(state, pos_prev)
+    if use_pallas_substeps():
+        state = _step_1s_pallas(state)
+    else:
+        pos_prev = state.pos
+        state = _physics(state)
+        state = state._replace(t=state.t + 1.0)
+        state = _detector_pass(state, pos_prev)
     state = _pop_arrivals(state)
     state = _spawn(state)
     return state

@@ -85,3 +85,32 @@ def test_fused_substeps_red_phase_holds_stop_line(traffic_states):
     )
     after = np.asarray(pos[:, 3, :])
     assert np.all(after[behind] <= stop + 0.5)
+
+
+def test_fused_step_detectors_match_xla(traffic_states):
+    """fused_step's detector aggregates == the XLA _detector_pass."""
+    from multimodal_drl_rmc_tpu.ops.pallas.sim_step import fused_step
+
+    sims = traffic_states
+    red = (sims.phase == core.RED).astype(jnp.float32)
+
+    def xla_step(s):
+        pos_prev = s.pos
+        s = core._substep(core._substep(s))
+        return core._detector_pass(s._replace(t=s.t + 1.0), pos_prev)
+
+    ref = jax.jit(jax.vmap(xla_step))(sims)
+    pos, speed, wait, cnt, spd, occ, queue = fused_step(
+        sims.pos, sims.speed, sims.active.astype(jnp.float32), sims.wait,
+        sims.head, red, block=1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.loop_count - sims.loop_count), np.asarray(cnt), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ref.loop_speed_sum - sims.loop_speed_sum), np.asarray(spd),
+        atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ref.loop_occ_time - sims.loop_occ_time), np.asarray(occ),
+        atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ref.sum_queue - sims.sum_queue), np.asarray(queue), atol=1e-4)
