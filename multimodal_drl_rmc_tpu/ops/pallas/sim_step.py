@@ -37,15 +37,16 @@ from ...sim.geometry import GEO, N_CHAINS, SLOTS, VEH_LENGTH_M
 IDM_A = 2.6
 IDM_B = 4.5
 IDM_T = 1.2
+IDM_T_CROSS = 0.6   # cross-stream merge-yield headway (sim/core.py)
 IDM_DELTA = 4.0
 IDM_S0 = 2.5
 DT_SUB = 0.5
 EMERGENCY_B = 9.0
 BIG = 1e9
-# Merge friction (sim/core.py constants — keep in sync).
-FRICTION_WINDOW_M = 150.0
-FRICTION_N0 = 45.0
-FRICTION_SCALE = 25.0
+# Merge friction (sim/core.py constants — keep in sync). The hysteretic
+# breakdown level is carried in SimState and passed in; the kernel only
+# applies the resulting headway inflation inside the window.
+FRICTION_WINDOW_M = 30.0
 FRICTION_ALPHA = 0.8
 
 BINS = 128
@@ -120,10 +121,11 @@ def _lookup(oh, pos_c, act, sufp, sufs):
     return gap, jnp.where(gap < 1e8, lead_s, 0.0)
 
 
-def _substep_body(pos, speed, act, wait, head, red, seg_start, seg_end,
-                  seg_speed, stop_line):
+def _substep_body(pos, speed, act, wait, head, red, friction, seg_start,
+                  seg_end, seg_speed, stop_line):
     """One DT_SUB physics step. pos/speed/act/wait [BT, C, N]; head
-    [BT, C]; red [BT, 1, 1]; segment tables [C, S]; stop_line [C, 1]."""
+    [BT, C]; red/friction [BT, 1, 1]; segment tables [S, C];
+    stop_line [C, 1]."""
     col = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 2)
 
     lead_pos = pltpu.roll(pos, 1, axis=2)
@@ -160,6 +162,7 @@ def _substep_body(pos, speed, act, wait, head, red, seg_start, seg_end,
     use_cross = g_cross < gap
     gap = jnp.where(use_cross, g_cross, gap)
     dv = jnp.where(use_cross, speed - s_cross, dv)
+    base_t = jnp.where(use_cross, IDM_T_CROSS, IDM_T)
 
     # Speed limit by segment slab (unrolled over the 5 segments). Tables
     # arrive [S, C] so the per-segment slice is on the sublane axis (a
@@ -172,16 +175,13 @@ def _substep_body(pos, speed, act, wait, head, red, seg_start, seg_end,
         v0 = v0 + jnp.where((pos >= lo) & (pos < hi), sp, 0.0)
     v0 = jnp.where(v0 > 0, v0, 27.77)
 
-    # Density-dependent merge friction around the merge (chains 0-3;
-    # sim/core._substep parity).
+    # Breakdown-driven merge friction (chains 0-3; sim/core._substep
+    # parity — the hysteresis state updates once per sim second in XLA).
     fr_lo = MERGE_LO - FRICTION_WINDOW_M
     pos_common = jnp.where(chain_row == 3, pos + MERGE_OFF, pos)
     in_window = (act > 0.5) & (pos_common >= fr_lo) & (chain_row != 4)
     zmask = jnp.where(in_window, 1.0, 0.0)
-    n_zone = jnp.sum(zmask, axis=(1, 2))                         # [BT]
-    friction = 1.0 + FRICTION_ALPHA * jnp.clip(
-        (n_zone - FRICTION_N0) / FRICTION_SCALE, 0.0, 1.0)
-    t_headway = IDM_T * (1.0 + (friction[:, None, None] - 1.0) * zmask)
+    t_headway = base_t * (1.0 + (friction - 1.0) * zmask)
 
     # IDM acceleration + semi-implicit Euler (identical to sim.core).
     s_star = IDM_S0 + speed * t_headway + speed * dv / (2.0 * np.sqrt(IDM_A * IDM_B))
@@ -200,7 +200,7 @@ def _substep_body(pos, speed, act, wait, head, red, seg_start, seg_end,
 
 
 def _kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
-            seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
+            fric_ref, seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
             pos_out, speed_out, wait_out, *, substeps: int):
     pos = pos_ref[:]
     speed = speed_ref[:]
@@ -208,26 +208,28 @@ def _kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
     wait = wait_ref[:]
     head = head_ref[:]
     red = red_ref[:][:, :, None]
+    friction = fric_ref[:][:, :, None]
     seg_start = seg_start_ref[:]
     seg_end = seg_end_ref[:]
     seg_speed = seg_speed_ref[:]
     stop = stop_ref[:]
     for _ in range(substeps):
         pos, speed, wait = _substep_body(
-            pos, speed, act, wait, head, red, seg_start, seg_end, seg_speed, stop)
+            pos, speed, act, wait, head, red, friction,
+            seg_start, seg_end, seg_speed, stop)
     pos_out[:] = pos
     speed_out[:] = speed
     wait_out[:] = wait
 
 
 @functools.partial(jax.jit, static_argnames=("substeps", "block", "interpret"))
-def fused_substeps(pos, speed, active, wait, head, red, *,
+def fused_substeps(pos, speed, active, wait, head, red, breakdown=None, *,
                    substeps: int = 2, block: int = 8, interpret: bool = False):
     """Run ``substeps`` physics steps for a batch of envs in one kernel.
 
     pos/speed/active/wait: [B, C, N] f32 (active as 0/1); head: [B, C]
-    int32; red: [B] f32 (1.0 while the meter is red). Returns updated
-    (pos, speed, wait).
+    int32; red: [B] f32 (1.0 while the meter is red); breakdown: [B] f32
+    merge-breakdown level (defaults to 0). Returns (pos, speed, wait).
     """
     b = pos.shape[0]
     bt = block if b % block == 0 else b
@@ -246,6 +248,9 @@ def fused_substeps(pos, speed, active, wait, head, red, *,
     seg_end = jnp.asarray(_SEG_END.T, jnp.float32)
     seg_speed = jnp.asarray(_SEG_SPEED.T, jnp.float32)
     stop = jnp.asarray(_STOP, jnp.float32).reshape(N_CHAINS, 1)
+    if breakdown is None:
+        breakdown = jnp.zeros((b,), jnp.float32)
+    friction = 1.0 + FRICTION_ALPHA * breakdown
     return pl.pallas_call(
         functools.partial(_kernel, substeps=substeps),
         out_shape=(
@@ -254,11 +259,11 @@ def fused_substeps(pos, speed, active, wait, head, red, *,
             jax.ShapeDtypeStruct(pos.shape, jnp.float32),
         ),
         grid=grid,
-        in_specs=[spec3, spec3, spec3, spec3, spec2, spec1,
+        in_specs=[spec3, spec3, spec3, spec3, spec2, spec1, spec1,
                   seg_spec, seg_spec, seg_spec, stop_spec],
         out_specs=(spec3, spec3, spec3),
         interpret=interpret,
-    )(pos, speed, active, wait, head, red[:, None],
+    )(pos, speed, active, wait, head, red[:, None], friction[:, None],
       seg_start, seg_end, seg_speed, stop)
 
 
@@ -290,7 +295,7 @@ def _detector_block(p0, p1, speed, act, loop_kc):
 
 
 def _step_kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
-                 seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
+                 fric_ref, seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
                  loop_ref,
                  pos_out, speed_out, wait_out, cnt_out, spd_out, occ_out,
                  queue_out, *, substeps: int):
@@ -300,6 +305,7 @@ def _step_kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
     wait = wait_ref[:]
     head = head_ref[:]
     red = red_ref[:][:, :, None]
+    friction = fric_ref[:][:, :, None]
     seg_start = seg_start_ref[:]
     seg_end = seg_end_ref[:]
     seg_speed = seg_speed_ref[:]
@@ -307,7 +313,8 @@ def _step_kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
     p0 = pos
     for _ in range(substeps):
         pos, speed, wait = _substep_body(
-            pos, speed, act, wait, head, red, seg_start, seg_end, seg_speed, stop)
+            pos, speed, act, wait, head, red, friction,
+            seg_start, seg_end, seg_speed, stop)
     cnt, spd, occ = _detector_block(p0, pos, speed, act, loop_ref[:])
     # Ramp queue: active chain-3 vehicles still on the on_ramp edge.
     ramp_end = float(GEO.ramp_edge_end)
@@ -324,7 +331,7 @@ def _step_kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("substeps", "block", "interpret"))
-def fused_step(pos, speed, active, wait, head, red, *,
+def fused_step(pos, speed, active, wait, head, red, breakdown=None, *,
                substeps: int = 2, block: int = 8, interpret: bool = False):
     """Physics substeps + detector integration + queue count in one kernel.
 
@@ -355,6 +362,9 @@ def fused_step(pos, speed, active, wait, head, red, *,
     seg_speed = jnp.asarray(_SEG_SPEED.T, jnp.float32)
     stop = jnp.asarray(_STOP, jnp.float32).reshape(N_CHAINS, 1)
     loop_kc = jnp.asarray(GEO.loop_table_pos.T, jnp.float32)
+    if breakdown is None:
+        breakdown = jnp.zeros((b,), jnp.float32)
+    friction = 1.0 + FRICTION_ALPHA * breakdown
     shp3 = jax.ShapeDtypeStruct(pos.shape, jnp.float32)
     shpk = jax.ShapeDtypeStruct((b, N_CHAINS, LOOPS_PER_CHAIN), jnp.float32)
     out = pl.pallas_call(
@@ -362,11 +372,11 @@ def fused_step(pos, speed, active, wait, head, red, *,
         out_shape=(shp3, shp3, shp3, shpk, shpk, shpk,
                    jax.ShapeDtypeStruct((b, 1), jnp.float32)),
         grid=grid,
-        in_specs=[spec3, spec3, spec3, spec3, spec2, spec1,
+        in_specs=[spec3, spec3, spec3, spec3, spec2, spec1, spec1,
                   seg_spec, seg_spec, seg_spec, stop_spec, loop_spec],
         out_specs=(spec3, spec3, spec3, speck, speck, speck, spec1),
         interpret=interpret,
-    )(pos, speed, active, wait, head, red[:, None],
+    )(pos, speed, active, wait, head, red[:, None], friction[:, None],
       seg_start, seg_end, seg_speed, stop, loop_kc)
     pos, speed, wait, cnt, spd, occ, queue = out
     return pos, speed, wait, cnt, spd, occ, queue[:, 0]

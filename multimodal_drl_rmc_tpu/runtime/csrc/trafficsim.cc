@@ -37,14 +37,17 @@ constexpr double kSpacing = kVehLen + kMinGap;
 constexpr double kIdmA = 2.6;
 constexpr double kIdmB = 4.5;
 constexpr double kIdmT = 1.2;
+constexpr double kIdmTCross = 0.6;  // cross-stream merge-yield headway
 constexpr double kIdmDelta = 4.0;
 constexpr double kEmergencyB = 9.0;
 constexpr int kSubsteps = 2;
 constexpr double kDtSub = 0.5;
-// Merge friction (sim/core.py constants — keep in sync).
-constexpr double kFrictionWindow = 150.0;
-constexpr double kFrictionN0 = 45.0;
-constexpr double kFrictionScale = 25.0;
+// Merge breakdown with hysteresis (sim/core.py constants — keep in sync).
+constexpr double kFrictionWindow = 30.0;
+constexpr double kBreakdownNHi = 40.0;
+constexpr double kBreakdownNLo = 28.0;
+constexpr double kBreakdownRateUp = 0.2;
+constexpr double kBreakdownRateDown = 0.02;
 constexpr double kFrictionAlpha = 0.8;
 
 struct Vehicle {
@@ -100,6 +103,7 @@ struct Sim {
 
   int phase = 1;  // 0 green, 1 red
   double t = 0.0;
+  double breakdown = 0.0;  // hysteretic merge-breakdown level [0, 1]
   double demand[4] = {0, 0, 0, 0};  // main, ramp, off vph + pen rate
   std::mt19937_64 rng;
 
@@ -116,6 +120,7 @@ struct Sim {
     for (auto& l : loops) l = Loop{l.chain, l.pos};
     interval_elapsed = 0.0;
     t = 0.0;
+    breakdown = 0.0;
     arrived = travel_sum = loss_sum = wait_sum = departed = loaded = 0.0;
   }
 };
@@ -155,16 +160,10 @@ bool cross_leader(const Chain& other, double offset, double zone_lo_common,
 
 void substep(Sim& s) {
   double acc[kMaxChains][kSlots];
-  // Density-dependent merge friction around the merge (chains 0-3).
+  // Breakdown-driven merge friction (hysteresis state updates per second
+  // in step_1s).
   double fr_lo = s.merge_zone_lo + s.merge_offset - kFrictionWindow;
-  int n_zone = 0;
-  for (int c = 0; c < std::min(s.n_chains, 4); ++c) {
-    double off = (c == 3) ? s.merge_offset : 0.0;
-    for (int i = 0; i < s.chains[c].count; ++i)
-      if (s.chains[c].at(i).pos + off >= fr_lo) ++n_zone;
-  }
-  double friction = 1.0 + kFrictionAlpha * std::clamp(
-      (n_zone - kFrictionN0) / kFrictionScale, 0.0, 1.0);
+  double friction = 1.0 + kFrictionAlpha * s.breakdown;
   for (int c = 0; c < s.n_chains; ++c) {
     Chain& ch = s.chains[c];
     bool is_ramp = (ch.stop_line < 1e17);
@@ -194,6 +193,7 @@ void substep(Sim& s) {
         }
       }
       // Zipper merge: mainline lane 0 <-> ramp chain.
+      double base_t = kIdmT;
       if (couples && s.n_chains > 3) {
         double x = v.pos + off;
         if (x >= zone_lo_common) {
@@ -203,11 +203,12 @@ void substep(Sim& s) {
             if (cross_gap < gap) {
               gap = cross_gap;
               dv = v.speed - ls;
+              base_t = kIdmTCross;
             }
           }
         }
       }
-      double t_headway = kIdmT;
+      double t_headway = base_t;
       if (c < 4 && v.pos + off >= zone_lo_common - kFrictionWindow)
         t_headway *= friction;
       acc[c][i] = idm_accel(v.speed, ch.speed_limit(v.pos), gap, dv, t_headway);
@@ -275,7 +276,10 @@ void pop_arrivals(Sim& s) {
 void spawn(Sim& s) {
   double rate_vps[kMaxChains];
   double main = s.demand[0], ramp = s.demand[1], off = s.demand[2];
-  rate_vps[0] = rate_vps[1] = rate_vps[2] = main / 3.0 / 3600.0;
+  // Equilibrium lane choice (sim/core.py MAIN_LANE_SHARES — keep in sync).
+  rate_vps[0] = main * 0.18 / 3600.0;
+  rate_vps[1] = main * 0.41 / 3600.0;
+  rate_vps[2] = main * 0.41 / 3600.0;
   rate_vps[3] = ramp / 3600.0;
   rate_vps[4] = off / 3600.0;
   std::uniform_real_distribution<double> uni(0.0, 1.0);
@@ -299,6 +303,25 @@ void spawn(Sim& s) {
   }
 }
 
+int zone_count(const Sim& s) {
+  double fr_lo = s.merge_zone_lo + s.merge_offset - kFrictionWindow;
+  int n = 0;
+  for (int c = 0; c < std::min(s.n_chains, 4); ++c) {
+    double off = (c == 3) ? s.merge_offset : 0.0;
+    for (int i = 0; i < s.chains[c].count; ++i)
+      if (s.chains[c].at(i).pos + off >= fr_lo) ++n;
+  }
+  return n;
+}
+
+void update_breakdown(Sim& s) {
+  int n = zone_count(s);
+  if (n > kBreakdownNHi)
+    s.breakdown = std::min(s.breakdown + kBreakdownRateUp, 1.0);
+  else if (n < kBreakdownNLo)
+    s.breakdown = std::max(s.breakdown - kBreakdownRateDown, 0.0);
+}
+
 void step_1s(Sim& s) {
   static thread_local double prev_pos[kMaxChains][kSlots];
   for (int c = 0; c < s.n_chains; ++c)
@@ -309,6 +332,7 @@ void step_1s(Sim& s) {
   for (int k = 0; k < kSubsteps; ++k) substep(s);
   s.t += 1.0;
   detector_pass(s, prev_pos);
+  update_breakdown(s);
   pop_arrivals(s);
   spawn(s);
 }

@@ -52,19 +52,34 @@ from .geometry import (
 IDM_A = 2.6
 IDM_B = 4.5
 IDM_T = 1.2
+# Cross-stream (merge) constraint headway: vehicles yielding to the OTHER
+# stream during the zipper are in different physical lanes, so the
+# conflict constraint is weaker than car-following — they accept tighter
+# time gaps. Pair capacity through the conflict ~= v/(v*T_CROSS + L + s0),
+# ~1.6 lanes worth, matching SUMO's distributed merging.
+IDM_T_CROSS = 0.6
 IDM_DELTA = 4.0
 IDM_S0 = MIN_GAP_M
-# Merge friction: crowding around the merge inflates the effective time
-# headway of ALL mainline + ramp vehicles there (the empirical "capacity
-# drop" at on-ramp merges: forced lane changes and gawking slow every
-# lane, not just the merge lane — our chains have no explicit
-# lane-changing, so this is its aggregate effect). This is what gives
-# metering its value: holding ramp vehicles back keeps the merge below
-# the friction knee and preserves mainline throughput.
-FRICTION_WINDOW_M = 150.0  # how far upstream of the merge the count reaches
-FRICTION_N0 = 45.0         # vehicle count where friction starts (~free flow)
-FRICTION_SCALE = 25.0      # count range over which it ramps to full
-FRICTION_ALPHA = 0.8       # max fractional headway increase
+# Merge breakdown with hysteresis: when the vehicle count around the
+# conflict zone exceeds N_HI, the merge "breaks down" — effective IDM
+# headways inflate (the empirical capacity drop: forced lane changes and
+# stop-and-go waves, which the lane-chain model has no explicit mechanism
+# for) — and STAYS broken until density falls well below the trigger
+# (N_LO). This hysteresis is what ramp metering exploits in reality and in
+# SUMO: a controller that keeps the merge just under the breakdown
+# threshold preserves full capacity at almost no ramp-flow cost, while
+# no-control tips the merge over and the jam sustains itself.
+FRICTION_WINDOW_M = 30.0   # how far upstream of the conflict the count reaches
+BREAKDOWN_N_HI = 40.0      # count that triggers breakdown
+BREAKDOWN_N_LO = 28.0      # count below which the merge recovers
+BREAKDOWN_RATE_UP = 0.2    # breakdown level gain per second above N_HI
+BREAKDOWN_RATE_DOWN = 0.02  # recovery per second below N_LO
+FRICTION_ALPHA = 0.8       # max fractional headway increase at full breakdown
+# Equilibrium lane choice: drivers pre-position away from the merge lane
+# (lane 0 shares the downstream capacity with the ramp), so mainline
+# demand splits unevenly. Without explicit lane-changing this is the
+# static equilibrium of that behavior.
+MAIN_LANE_SHARES = (0.18, 0.41, 0.41)
 SUBSTEPS = 2
 DT_SUB = 0.5
 EMERGENCY_B = 9.0
@@ -107,6 +122,7 @@ class SimState(NamedTuple):
     # Last 1 s step readings (flow-weighted speed semantics)
     loop_step_count: jax.Array  # [C, K] f32
     loop_step_speed: jax.Array  # [C, K] f32
+    breakdown: jax.Array       # [] f32 in [0, 1] — merge breakdown level
     # Trip statistics (episode-cumulative)
     arrived: jax.Array
     travel_sum: jax.Array
@@ -139,6 +155,7 @@ def _zeros_state(rng: jax.Array, demand: jax.Array) -> SimState:
         sum_queue=z(),
         loop_step_count=z(*LOOP_SHAPE),
         loop_step_speed=z(*LOOP_SHAPE),
+        breakdown=z(),
         arrived=z(), travel_sum=z(), loss_sum=z(), wait_sum=z(),
         departed=z(), loaded=z(),
     )
@@ -292,17 +309,18 @@ def _substep(state: SimState) -> SimState:
     dv = dv.at[3].set(jnp.where(use3, speed[3] - s3x, dv[3]))
     gap = gap.at[0].set(jnp.where(use0, g0x, gap[0]))
     dv = dv.at[0].set(jnp.where(use0, speed[0] - s0x, dv[0]))
+    base_t = jnp.full_like(pos, IDM_T)
+    base_t = base_t.at[3].set(jnp.where(use3, IDM_T_CROSS, IDM_T))
+    base_t = base_t.at[0].set(jnp.where(use0, IDM_T_CROSS, IDM_T))
 
-    # Density-dependent merge friction around the merge (chains 0-3; the
-    # off-ramp chain 4 is unaffected).
+    # Merge friction from the (hysteretic) breakdown level; chains 0-3
+    # inside the window feel it, the off-ramp chain 4 never does.
     fr_lo = _MERGE_LO_COMMON - FRICTION_WINDOW_M
     pos_common = pos.at[3].add(GEO.merge_offset)
     in_window = active & (pos_common >= fr_lo)
     in_window = in_window.at[4].set(False)
-    n_zone = in_window.sum()
-    friction = 1.0 + FRICTION_ALPHA * jnp.clip(
-        (n_zone - FRICTION_N0) / FRICTION_SCALE, 0.0, 1.0)
-    t_headway = jnp.where(in_window, IDM_T * friction, IDM_T)
+    friction = 1.0 + FRICTION_ALPHA * state.breakdown
+    t_headway = jnp.where(in_window, base_t * friction, base_t)
 
     v0 = _speed_limit(pos)
     acc = _idm_accel(speed, v0, gap, dv, t_headway)
@@ -353,6 +371,26 @@ def _detector_pass(state: SimState, pos_prev: jax.Array) -> SimState:
     )
 
 
+def zone_count(state: SimState) -> jax.Array:
+    '''Active chains-0..3 vehicles around the merge conflict (common frame).'''
+    fr_lo = _MERGE_LO_COMMON - FRICTION_WINDOW_M
+    pos_common = state.pos.at[3].add(GEO.merge_offset)
+    in_window = state.active & (pos_common >= fr_lo)
+    in_window = in_window.at[4].set(False)
+    return in_window.sum().astype(jnp.float32)
+
+
+def _update_breakdown(state: SimState) -> SimState:
+    '''Per-second hysteresis update of the merge breakdown level.'''
+    n = zone_count(state)
+    b = state.breakdown
+    b = jnp.where(n > BREAKDOWN_N_HI,
+                  jnp.minimum(b + BREAKDOWN_RATE_UP, 1.0), b)
+    b = jnp.where(n < BREAKDOWN_N_LO,
+                  jnp.maximum(b - BREAKDOWN_RATE_DOWN, 0.0), b)
+    return state._replace(breakdown=b)
+
+
 def _pop_arrivals(state: SimState) -> SimState:
     """Retire up to 2 head vehicles per chain that crossed the chain end.
 
@@ -387,7 +425,8 @@ def _spawn(state: SimState, cfg_dt: float = 1.0) -> SimState:
     blocked insertions accumulate in `pending` = loaded-not-inserted)."""
     main, ramp, off, pen = (state.demand[0], state.demand[1],
                             state.demand[2], state.demand[3])
-    rate_vps = jnp.stack([main / 3.0, main / 3.0, main / 3.0, ramp, off]) / 3600.0
+    s0, s1, s2 = MAIN_LANE_SHARES
+    rate_vps = jnp.stack([main * s0, main * s1, main * s2, ramp, off]) / 3600.0
     pending = state.pending + rate_vps * cfg_dt
     loaded = state.loaded + jnp.sum(rate_vps) * cfg_dt
 
@@ -454,7 +493,8 @@ def _physics(state: SimState) -> SimState:
     pos, speed, wait = fused_substeps(
         state.pos[None], state.speed[None],
         state.active.astype(jnp.float32)[None], state.wait[None],
-        state.head[None], red[None], substeps=SUBSTEPS, block=1,
+        state.head[None], red[None], state.breakdown[None],
+        substeps=SUBSTEPS, block=1,
     )
     return state._replace(pos=pos[0], speed=speed[0], wait=wait[0])
 
@@ -467,7 +507,8 @@ def _step_1s_pallas(state: SimState) -> SimState:
     pos, speed, wait, cnt, spd, occ, queue = fused_step(
         state.pos[None], state.speed[None],
         state.active.astype(jnp.float32)[None], state.wait[None],
-        state.head[None], red[None], substeps=SUBSTEPS, block=1,
+        state.head[None], red[None], state.breakdown[None],
+        substeps=SUBSTEPS, block=1,
     )
     cnt, spd, occ, queue = cnt[0], spd[0], occ[0], queue[0]
     mean_step_speed = jnp.where(cnt > 0, spd / jnp.maximum(cnt, 1.0), -1.0)
@@ -493,6 +534,7 @@ def step_1s(state: SimState) -> SimState:
         state = _physics(state)
         state = state._replace(t=state.t + 1.0)
         state = _detector_pass(state, pos_prev)
+    state = _update_breakdown(state)
     state = _pop_arrivals(state)
     state = _spawn(state)
     return state
