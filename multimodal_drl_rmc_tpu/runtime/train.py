@@ -247,8 +247,9 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
                         choices=("auto", "fake", "native", "sumo", "device"))
     parser.add_argument("-obs_variant", type=str, default="hybrid",
                         choices=("hybrid", "macro_lane", "macro_no_lane"))
-    parser.add_argument("-replay_ratio", type=int, default=1,
-                        help="learner updates per env step (fused on device)")
+    parser.add_argument("-replay_ratio", type=float, default=1.0,
+                        help="learner updates per env transition "
+                             "(host path rounds up to an int per vec step)")
     parser.add_argument("-n_step", type=int, default=1,
                         help="n-step returns (1 = reference behavior)")
     parser.add_argument("-threaded", type=str2bool, default=True)
@@ -273,10 +274,11 @@ def main(argv=None) -> None:
         if args.backend == "device":
             from ..sim.train_on_device import train_on_device
 
-            train_on_device(cfg, seed=args.seed)
+            train_on_device(cfg, seed=args.seed,
+                            replay_ratio=float(args.replay_ratio))
             return
         Trainer(cfg, backend=args.backend, threaded=args.threaded,
-                replay_ratio=args.replay_ratio, seed=args.seed).run()
+                replay_ratio=int(round(args.replay_ratio)), seed=args.seed).run()
 
 
 if __name__ == "__main__":

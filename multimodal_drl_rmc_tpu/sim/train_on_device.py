@@ -39,14 +39,33 @@ class Carry(NamedTuple):
 
 
 class DeviceTrainer:
-    def __init__(self, cfg: Config, batch: int | None = None, seed: int = 0):
+    def __init__(self, cfg: Config, batch: int | None = None, seed: int = 0,
+                 replay_ratio: float = 1.0):
+        """``replay_ratio`` = learner updates per env transition.
+
+        The reference trains with one gradient update per env step
+        (train.py:83-108); with B envs stepping in lockstep that is
+        k = replay_ratio * B updates per superstep, run as one on-device
+        lax.scan (learner.train_many). Schedules (epsilon, tau, hard-update
+        freq) see the effective n_env = B / k, so replay_ratio=1 reproduces
+        the reference's per-transition semantics exactly — tau=1e-3 per
+        update, epsilon decayed per transition. (Round 1 trained at the
+        implicit ratio 1/B = one update per 256 transitions, which
+        under-trained the agent to the point a constant action beat it.)
+        """
         self.cfg = cfg
         self.batch = batch or max(cfg.hp.n_env, 1)
+        self.k_updates = max(1, int(round(replay_ratio * self.batch)))
+        n_env_eff = max(1, round(self.batch / self.k_updates))
+        import dataclasses
+
+        lcfg = cfg.replace(hp=dataclasses.replace(cfg.hp, n_env=n_env_eff))
         self.env = DeviceRampEnv(cfg.env, self.batch)
-        self.learner = make_learner(cfg)
+        self.learner = make_learner(lcfg)
         self.rng = jax.random.PRNGKey(seed)
 
         learner, env, B = self.learner, self.env, self.batch
+        k_updates = self.k_updates
 
         def one_iter(carry: Carry, random_actions: bool) -> tuple[Carry, dict]:
             rng, r_act, r_train = jax.random.split(carry.rng, 3)
@@ -63,6 +82,9 @@ class DeviceTrainer:
             )
             if random_actions:
                 train_state, metrics = carry.train_state, None
+            elif k_updates > 1:
+                train_state, buffer, metrics = learner.train_many(
+                    carry.train_state, buffer, r_train, k_updates)
             else:
                 train_state, buffer, metrics = learner.train_step(
                     carry.train_state, buffer, r_train)
@@ -182,8 +204,10 @@ class DeviceTrainer:
         checkpoint.save_all(self.cfg, carry.train_state, _S())
 
 
-def train_on_device(cfg: Config, seed: int = 0, batch: int | None = None) -> None:
-    trainer = DeviceTrainer(cfg, batch=batch, seed=seed)
+def train_on_device(cfg: Config, seed: int = 0, batch: int | None = None,
+                    replay_ratio: float = 1.0) -> None:
+    trainer = DeviceTrainer(cfg, batch=batch, seed=seed,
+                            replay_ratio=replay_ratio)
     carry = trainer.run()
     trainer.save(carry)
     print(f"saved {checkpoint.pack_path(cfg)}")
