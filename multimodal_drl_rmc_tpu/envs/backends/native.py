@@ -147,8 +147,11 @@ class NativeSimBackend(TrafficBackend):
         if edge_id == self.spec.on_ramp_edge:
             return self._lib.ts_chain_count(self._handle, 3, 0.0, geo.ramp_edge_end)
         if edge_id == self.spec.upstream_edge:
-            lo = 225.64 + 110.83
-            hi = lo + 488.34
+            # main_road spans chain segments 2..3 of the mainline chains
+            # (MAIN_CHAIN_EDGES order), so its chain-coordinate window is
+            # [seg_end[1], seg_end[2]].
+            lo = float(geo.seg_end[0, 1])
+            hi = float(geo.seg_end[0, 2])
             return sum(self._lib.ts_chain_count(self._handle, c, lo, hi)
                        for c in range(3))
         return 0
@@ -219,12 +222,25 @@ class NativeSimBackend(TrafficBackend):
         }
 
 
-# Chain-coordinate -> SUMO lane-id mapping (inverse of sim/geometry.py).
-_MAIN_BOUNDS = np.asarray([225.64, 336.47, 824.81, 1018.60, 1e18])
-_MAIN_EDGES = ("entry", "off_ramp_up_stream", "main_road",
-               "acceleration_area", "end_main_road")
-_RAMP_BOUNDS = np.asarray([204.44, 246.95, 440.74, 1e18])
-_RAMP_EDGES = ("on_ramp", "passage_area", "acceleration_area", "end_main_road")
+# Chain-coordinate -> SUMO lane-id mapping (inverse of sim/geometry.py),
+# derived from the scenario spec's edge lengths along the shared chain-edge
+# lists — one definition site for the corridor layout.
+from ...sim.geometry import MAIN_CHAIN_EDGES, RAMP_CHAIN_EDGES  # noqa: E402
+
+
+def _chain_bounds(spec: ScenarioSpec, edge_ids) -> np.ndarray:
+    """Cumulative edge-end coordinates; the final edge is unbounded so
+    merged vehicles past the chain end still map to the last edge."""
+    e = {edge.id: edge for edge in spec.edges}
+    bounds = np.cumsum([e[i].length_m for i in edge_ids]).astype(np.float64)
+    bounds[-1] = 1e18
+    return bounds
+
+
+_MAIN_EDGES = MAIN_CHAIN_EDGES
+_MAIN_BOUNDS = _chain_bounds(RAMP_1X3, MAIN_CHAIN_EDGES)
+_RAMP_EDGES = RAMP_CHAIN_EDGES
+_RAMP_BOUNDS = _chain_bounds(RAMP_1X3, RAMP_CHAIN_EDGES)
 
 
 def _chain_to_lane(chain: np.ndarray, pos: np.ndarray):

@@ -33,24 +33,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...sim.geometry import GEO, N_CHAINS, SLOTS, VEH_LENGTH_M
+from ...sim.physics import (
+    DT_SUB,
+    EMERGENCY_B,
+    FRICTION_ALPHA,
+    FRICTION_WINDOW_M,
+    IDM_A,
+    IDM_B,
+    IDM_DELTA,
+    IDM_S0,
+    IDM_T,
+    IDM_T_CROSS,
+    MERGE_BIN_M as BIN_M,
+    MERGE_BINS as BINS,
+)
 
-IDM_A = 2.6
-IDM_B = 4.5
-IDM_T = 1.2
-IDM_T_CROSS = 0.6   # cross-stream merge-yield headway (sim/core.py)
-IDM_DELTA = 4.0
-IDM_S0 = 2.5
-DT_SUB = 0.5
-EMERGENCY_B = 9.0
 BIG = 1e9
-# Merge friction (sim/core.py constants — keep in sync). The hysteretic
-# breakdown level is carried in SimState and passed in; the kernel only
-# applies the resulting headway inflation inside the window.
-FRICTION_WINDOW_M = 30.0
-FRICTION_ALPHA = 0.8
-
-BINS = 128
-BIN_M = 4.0
+# The hysteretic breakdown level is carried in SimState and passed in; the
+# kernel only applies the resulting headway inflation inside the window.
 MERGE_LO = float(GEO.merge_zone_lo + GEO.merge_offset)
 MERGE_OFF = float(GEO.merge_offset)
 

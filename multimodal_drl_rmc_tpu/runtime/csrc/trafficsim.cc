@@ -24,31 +24,16 @@
 #include <random>
 #include <vector>
 
+// Physics constants are generated from sim/physics.py (the single
+// definition site, shared with the XLA and Pallas simulators) by
+// runtime/native_build.py before each compile.
+#include "physics_constants.h"
+
 namespace {
 
 constexpr int kMaxChains = 8;
 constexpr int kMaxSegs = 5;
 constexpr int kSlots = 512;
-constexpr double kVehLen = 5.0;
-constexpr double kMinGap = 2.5;
-constexpr double kSpacing = kVehLen + kMinGap;
-
-// IDM (same constants as sim/core.py).
-constexpr double kIdmA = 2.6;
-constexpr double kIdmB = 4.5;
-constexpr double kIdmT = 1.2;
-constexpr double kIdmTCross = 0.6;  // cross-stream merge-yield headway
-constexpr double kIdmDelta = 4.0;
-constexpr double kEmergencyB = 9.0;
-constexpr int kSubsteps = 2;
-constexpr double kDtSub = 0.5;
-// Merge breakdown with hysteresis (sim/core.py constants — keep in sync).
-constexpr double kFrictionWindow = 30.0;
-constexpr double kBreakdownNHi = 40.0;
-constexpr double kBreakdownNLo = 28.0;
-constexpr double kBreakdownRateUp = 0.2;
-constexpr double kBreakdownRateDown = 0.02;
-constexpr double kFrictionAlpha = 0.8;
 
 struct Vehicle {
   double pos = 0.0;
@@ -277,9 +262,9 @@ void spawn(Sim& s) {
   double rate_vps[kMaxChains];
   double main = s.demand[0], ramp = s.demand[1], off = s.demand[2];
   // Equilibrium lane choice (sim/core.py MAIN_LANE_SHARES — keep in sync).
-  rate_vps[0] = main * 0.18 / 3600.0;
-  rate_vps[1] = main * 0.41 / 3600.0;
-  rate_vps[2] = main * 0.41 / 3600.0;
+  rate_vps[0] = main * kLaneShare0 / 3600.0;
+  rate_vps[1] = main * kLaneShare1 / 3600.0;
+  rate_vps[2] = main * kLaneShare2 / 3600.0;
   rate_vps[3] = ramp / 3600.0;
   rate_vps[4] = off / 3600.0;
   std::uniform_real_distribution<double> uni(0.0, 1.0);

@@ -14,14 +14,35 @@ import subprocess
 import threading
 
 _SRC = os.path.join(os.path.dirname(__file__), "csrc", "trafficsim.cc")
+_HDR = os.path.join(os.path.dirname(__file__), "csrc", "physics_constants.h")
 _LIB = os.path.join(os.path.dirname(__file__), "csrc", "libtrafficsim.so")
 _lock = threading.Lock()
 _lib = None
 
 
+def _sync_physics_header() -> bool:
+    """(Re)generate physics_constants.h from sim/physics.py.
+
+    Returns True when the header content changed — the one-definition-site
+    guarantee: a Python-side constant edit forces a native rebuild."""
+    from ..sim.physics import cpp_header
+
+    want = cpp_header()
+    have = None
+    if os.path.isfile(_HDR):
+        with open(_HDR) as f:
+            have = f.read()
+    if have != want:
+        with open(_HDR, "w") as f:
+            f.write(want)
+        return True
+    return False
+
+
 def build(force: bool = False) -> str:
     """Compile the shared library if missing or stale; returns its path."""
-    if (not force and os.path.isfile(_LIB)
+    changed = _sync_physics_header()
+    if (not force and not changed and os.path.isfile(_LIB)
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",

@@ -47,42 +47,29 @@ from .geometry import (
     VEH_LENGTH_M,
 )
 
-# IDM parameters (accel/decel from the reference vType defs,
-# sumo_env.py:611-612; T chosen for ~2200 veh/h/lane free-flow capacity).
-IDM_A = 2.6
-IDM_B = 4.5
-IDM_T = 1.2
-# Cross-stream (merge) constraint headway: vehicles yielding to the OTHER
-# stream during the zipper are in different physical lanes, so the
-# conflict constraint is weaker than car-following — they accept tighter
-# time gaps. Pair capacity through the conflict ~= v/(v*T_CROSS + L + s0),
-# ~1.6 lanes worth, matching SUMO's distributed merging.
-IDM_T_CROSS = 0.6
-IDM_DELTA = 4.0
-IDM_S0 = MIN_GAP_M
-# Merge breakdown with hysteresis: when the vehicle count around the
-# conflict zone exceeds N_HI, the merge "breaks down" — effective IDM
-# headways inflate (the empirical capacity drop: forced lane changes and
-# stop-and-go waves, which the lane-chain model has no explicit mechanism
-# for) — and STAYS broken until density falls well below the trigger
-# (N_LO). This hysteresis is what ramp metering exploits in reality and in
-# SUMO: a controller that keeps the merge just under the breakdown
-# threshold preserves full capacity at almost no ramp-flow cost, while
-# no-control tips the merge over and the jam sustains itself.
-FRICTION_WINDOW_M = 30.0   # how far upstream of the conflict the count reaches
-BREAKDOWN_N_HI = 40.0      # count that triggers breakdown
-BREAKDOWN_N_LO = 28.0      # count below which the merge recovers
-BREAKDOWN_RATE_UP = 0.2    # breakdown level gain per second above N_HI
-BREAKDOWN_RATE_DOWN = 0.02  # recovery per second below N_LO
-FRICTION_ALPHA = 0.8       # max fractional headway increase at full breakdown
-# Equilibrium lane choice: drivers pre-position away from the merge lane
-# (lane 0 shares the downstream capacity with the ramp), so mainline
-# demand splits unevenly. Without explicit lane-changing this is the
-# static equilibrium of that behavior.
-MAIN_LANE_SHARES = (0.18, 0.41, 0.41)
-SUBSTEPS = 2
-DT_SUB = 0.5
-EMERGENCY_B = 9.0
+# All physics constants live in sim/physics.py (single definition site,
+# shared with the Pallas kernel and the generated C++ header). Re-exported
+# here so existing call sites/tests keep reading sim.core.IDM_T etc.
+from .physics import (  # noqa: F401  (re-exports)
+    BREAKDOWN_N_HI,
+    BREAKDOWN_N_LO,
+    BREAKDOWN_RATE_DOWN,
+    BREAKDOWN_RATE_UP,
+    DT_SUB,
+    EMERGENCY_B,
+    FRICTION_ALPHA,
+    FRICTION_WINDOW_M,
+    IDM_A,
+    IDM_B,
+    IDM_DELTA,
+    IDM_S0,
+    IDM_T,
+    IDM_T_CROSS,
+    MAIN_LANE_SHARES,
+    MERGE_BIN_M,
+    MERGE_BINS,
+    SUBSTEPS,
+)
 
 N_LOOPS = len(GEO.loop_names)
 LOOP_SHAPE = (N_CHAINS, LOOPS_PER_CHAIN)
@@ -226,8 +213,8 @@ def _idm_accel(v, v0, gap, dv, t_headway=IDM_T):
 # vehicle's nearest-ahead cross-stream leader in O(N + BINS) — replacing an
 # O(N^2) pairwise search that dominated the step cost on TPU.
 _MERGE_LO_COMMON = GEO.merge_zone_lo + GEO.merge_offset
-_BIN_M = 4.0
-_BINS = 128
+_BIN_M = MERGE_BIN_M
+_BINS = MERGE_BINS
 
 
 def _bin_stream(pos_common, speed, valid):

@@ -69,6 +69,16 @@ class ChainGeometry(NamedTuple):
     freeflow_tt: np.ndarray         # [C] f32 — free-flow travel time per chain
 
 
+# Edge chains per lane-chain class (shared with the native backend's
+# chain-coordinate <-> lane-id mapping, envs/backends/native.py).
+MAIN_CHAIN_EDGES = ("entry", "off_ramp_up_stream", "main_road",
+                    "acceleration_area", "end_main_road")
+RAMP_CHAIN_EDGES = ("on_ramp", "passage_area", "acceleration_area",
+                    "end_main_road")
+OFF_CHAIN_EDGES = ("entry", "off_ramp_up_stream", "off_ramp_beginning",
+                   "off_ramp")
+
+
 def build_geometry(spec: ScenarioSpec = RAMP_1X3) -> ChainGeometry:
     e = {edge.id: edge for edge in spec.edges}
 
@@ -80,10 +90,9 @@ def build_geometry(spec: ScenarioSpec = RAMP_1X3) -> ChainGeometry:
         ends = np.cumsum(lengths)
         return ends, speeds
 
-    main_edges = ("entry", "off_ramp_up_stream", "main_road",
-                  "acceleration_area", "end_main_road")
-    ramp_edges = ("on_ramp", "passage_area", "acceleration_area", "end_main_road")
-    off_edges = ("entry", "off_ramp_up_stream", "off_ramp_beginning", "off_ramp")
+    main_edges = MAIN_CHAIN_EDGES
+    ramp_edges = RAMP_CHAIN_EDGES
+    off_edges = OFF_CHAIN_EDGES
 
     seg_end = np.full((N_CHAINS, MAX_SEGMENTS), np.inf, np.float32)
     seg_speed = np.full((N_CHAINS, MAX_SEGMENTS), 27.77, np.float32)
