@@ -191,26 +191,40 @@ class NativeSimBackend(TrafficBackend):
         }
 
     def episode_artifacts(self) -> dict:
-        out = np.zeros(8, np.float64)
-        self._lib.ts_trip_stats(
+        """Full tripinfo-equivalent stats: the same key set the reference's
+        results CSVs carry (evaluation/parsers.py:21-102) — totals, medians,
+        sample std-devs, per-route (Mainline/On-Ramp/Off-Ramp) aggregates,
+        and wheel-power-model emissions (sim/physics.py; completed trips
+        only, matching the per-trip tripinfo emissions)."""
+        out = np.zeros(24, np.float64)
+        self._lib.ts_trip_stats_full(
             self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
-        arrived, travel, loss, waited, departed, loaded = out[:6]
+        (arrived, travel, loss, waited, departed, loaded, _t,
+         co2, fuel, nox, med_tt, std_tt, med_loss, std_loss, ss_loss) = out[:15]
         a = max(arrived, 1.0)
         trip_stats = {
             "total_throughput": int(arrived),
             "total_travel_time": travel,
             "avg_travel_time": travel / a,
+            "median_travel_time": med_tt,
+            "std_dev_travel_time": std_tt,
             "total_time_loss": loss,
             "avg_time_loss": loss / a,
+            "median_time_loss": med_loss,
+            "std_dev_time_loss": std_loss,
+            "sum_of_squared_time_loss": ss_loss,
             "total_waiting_time": waited,
             "avg_waiting_time": waited / a,
             "num_teleported_tripinfo": 0,
-            # Emissions estimated from vehicle-seconds (HBEFA-order
-            # constants; the SUMO backend reports measured values).
-            "total_co2_mg": travel * 3600.0,
-            "total_fuel_ml": travel * 1.5,
-            "total_nox_mg": travel * 1.6,
+            "total_co2_mg": co2,
+            "total_fuel_ml": fuel,
+            "total_nox_mg": nox,
         }
+        for r, route in enumerate(("Mainline", "On-Ramp", "Off-Ramp")):
+            n, tsum, lsum = out[15 + 3 * r: 18 + 3 * r]
+            trip_stats[f"{route}_throughput"] = int(n)
+            trip_stats[f"{route}_avg_travel_time"] = tsum / n if n else np.nan
+            trip_stats[f"{route}_avg_time_loss"] = lsum / n if n else np.nan
         return {
             "trip_stats": trip_stats,
             "sim_log_stats": {

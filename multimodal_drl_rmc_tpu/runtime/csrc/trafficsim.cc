@@ -40,6 +40,8 @@ struct Vehicle {
   double speed = 0.0;
   double depart_t = 0.0;
   double wait = 0.0;
+  double co2 = 0.0;   // mg, accumulated over the trip (wheel-power model)
+  double nox = 0.0;   // mg
   bool connected = false;
 };
 
@@ -92,9 +94,17 @@ struct Sim {
   double demand[4] = {0, 0, 0, 0};  // main, ramp, off vph + pen rate
   std::mt19937_64 rng;
 
-  // Trip stats.
+  // Trip stats. Route classes: 0 = Mainline (chains 0-2), 1 = On-Ramp
+  // (chain 3), 2 = Off-Ramp (chain 4) — the reference's per-route split
+  // (evaluation/parsers.py get_route_type).
   double arrived = 0, travel_sum = 0, loss_sum = 0, wait_sum = 0;
   double departed = 0, loaded = 0;
+  double route_count[3] = {0, 0, 0};
+  double route_travel[3] = {0, 0, 0};
+  double route_loss[3] = {0, 0, 0};
+  double co2_sum = 0, nox_sum = 0;        // completed trips only (parser parity)
+  std::vector<double> trip_travel;        // per completed trip, for median/std
+  std::vector<double> trip_loss;
   double freeflow_tt[kMaxChains];
 
   void clear_vehicles() {
@@ -107,6 +117,11 @@ struct Sim {
     t = 0.0;
     breakdown = 0.0;
     arrived = travel_sum = loss_sum = wait_sum = departed = loaded = 0.0;
+    for (int r = 0; r < 3; ++r)
+      route_count[r] = route_travel[r] = route_loss[r] = 0.0;
+    co2_sum = nox_sum = 0.0;
+    trip_travel.clear();
+    trip_loss.clear();
   }
 };
 
@@ -242,16 +257,44 @@ void detector_pass(Sim& s, const double prev_pos[kMaxChains][kSlots]) {
   }
 }
 
+// Per-second per-vehicle emissions: wheel-power balance with idle floor
+// (constants from the generated physics_constants.h; model documented in
+// sim/physics.py). Accumulated onto the vehicle so only completed trips
+// count, matching the reference tripinfo parser (parsers.py:84-86).
+void emissions_pass(Sim& s, const double prev_speed[kMaxChains][kSlots]) {
+  for (int c = 0; c < s.n_chains; ++c) {
+    Chain& ch = s.chains[c];
+    for (int i = 0; i < ch.count; ++i) {
+      Vehicle& v = ch.slots[(ch.head + i) % kSlots];
+      double a = v.speed - prev_speed[c][(ch.head + i) % kSlots];
+      double p = (kRollingResN + kAeroDrag * v.speed * v.speed) * v.speed +
+                 kVehMassKg * v.speed * a;
+      if (p < 0) p = 0;
+      v.co2 += kCo2IdleMgps + kCo2PerWheelJ * p;
+      v.nox += kNoxIdleMgps + kNoxPerWheelJ * p;
+    }
+  }
+}
+
 void pop_arrivals(Sim& s) {
   for (int c = 0; c < s.n_chains; ++c) {
     Chain& ch = s.chains[c];
+    int route = c < 3 ? 0 : (c == 3 ? 1 : 2);
     while (ch.count > 0 && ch.at(0).pos > ch.length) {
       const Vehicle& v = ch.at(0);
       double travel = s.t - v.depart_t;
+      double loss = std::max(0.0, travel - s.freeflow_tt[c]);
       s.arrived += 1.0;
       s.travel_sum += travel;
-      s.loss_sum += std::max(0.0, travel - s.freeflow_tt[c]);
+      s.loss_sum += loss;
       s.wait_sum += v.wait;
+      s.route_count[route] += 1.0;
+      s.route_travel[route] += travel;
+      s.route_loss[route] += loss;
+      s.co2_sum += v.co2;
+      s.nox_sum += v.nox;
+      s.trip_travel.push_back(travel);
+      s.trip_loss.push_back(loss);
       ch.head = (ch.head + 1) % kSlots;
       --ch.count;
     }
@@ -281,6 +324,8 @@ void spawn(Sim& s) {
     v.speed = std::min(ch.seg_speed[0], entry_gap / kIdmT);
     v.depart_t = s.t;
     v.wait = 0.0;
+    v.co2 = 0.0;
+    v.nox = 0.0;
     v.connected = uni(s.rng) < s.demand[3];
     ++ch.count;
     ch.pending -= 1.0;
@@ -309,14 +354,17 @@ void update_breakdown(Sim& s) {
 
 void step_1s(Sim& s) {
   static thread_local double prev_pos[kMaxChains][kSlots];
+  static thread_local double prev_speed[kMaxChains][kSlots];
   for (int c = 0; c < s.n_chains; ++c)
     for (int i = 0; i < s.chains[c].count; ++i) {
       int slot = (s.chains[c].head + i) % kSlots;
       prev_pos[c][slot] = s.chains[c].slots[slot].pos;
+      prev_speed[c][slot] = s.chains[c].slots[slot].speed;
     }
   for (int k = 0; k < kSubsteps; ++k) substep(s);
   s.t += 1.0;
   detector_pass(s, prev_pos);
+  emissions_pass(s, prev_speed);
   update_breakdown(s);
   pop_arrivals(s);
   spawn(s);
@@ -437,6 +485,51 @@ void ts_trip_stats(void* h, double* out) {
   out[4] = s->departed;
   out[5] = s->loaded;
   out[6] = s->t;
+}
+
+// Full tripinfo-equivalent statistics (24 doubles):
+//  [0..6]  arrived, travel_sum, loss_sum, wait_sum, departed, loaded, t
+//  [7..9]  co2_mg, fuel_ml, nox_mg                  (completed trips)
+//  [10..14] median_travel, std_travel, median_loss, std_loss, sum_sq_loss
+//  [15+3r] route r in {Mainline, On-Ramp, Off-Ramp}: count, travel_sum,
+//          loss_sum
+void ts_trip_stats_full(void* h, double* out) {
+  Sim* s = static_cast<Sim*>(h);
+  ts_trip_stats(h, out);
+  out[7] = s->co2_sum;
+  out[8] = s->co2_sum / kCo2PerFuelMl;
+  out[9] = s->nox_sum;
+
+  auto median = [](std::vector<double> v) -> double {
+    if (v.empty()) return 0.0;
+    size_t mid = v.size() / 2;
+    std::nth_element(v.begin(), v.begin() + mid, v.end());
+    double hi = v[mid];
+    if (v.size() % 2 == 1) return hi;
+    std::nth_element(v.begin(), v.begin() + mid - 1, v.begin() + mid);
+    return 0.5 * (hi + v[mid - 1]);
+  };
+  auto stddev = [](const std::vector<double>& v) -> double {
+    if (v.size() < 2) return 0.0;
+    double mean = 0.0;
+    for (double x : v) mean += x;
+    mean /= v.size();
+    double ss = 0.0;
+    for (double x : v) ss += (x - mean) * (x - mean);
+    return std::sqrt(ss / (v.size() - 1));  // sample std (pandas .std())
+  };
+  out[10] = median(s->trip_travel);
+  out[11] = stddev(s->trip_travel);
+  out[12] = median(s->trip_loss);
+  out[13] = stddev(s->trip_loss);
+  double ss = 0.0;
+  for (double x : s->trip_loss) ss += x * x;
+  out[14] = ss;
+  for (int r = 0; r < 3; ++r) {
+    out[15 + 3 * r] = s->route_count[r];
+    out[16 + 3 * r] = s->route_travel[r];
+    out[17 + 3 * r] = s->route_loss[r];
+  }
 }
 
 }  // extern "C"

@@ -92,5 +92,6 @@ def load() -> ctypes.CDLL:
         lib.ts_snapshot.argtypes = [c.c_void_p, dp, dp, ip, u8p, c.c_int]
         lib.ts_snapshot.restype = c.c_int
         lib.ts_trip_stats.argtypes = [c.c_void_p, dp]
+        lib.ts_trip_stats_full.argtypes = [c.c_void_p, dp]
         _lib = lib
         return lib

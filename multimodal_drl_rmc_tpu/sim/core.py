@@ -110,13 +110,18 @@ class SimState(NamedTuple):
     loop_step_count: jax.Array  # [C, K] f32
     loop_step_speed: jax.Array  # [C, K] f32
     breakdown: jax.Array       # [] f32 in [0, 1] — merge breakdown level
-    # Trip statistics (episode-cumulative)
-    arrived: jax.Array
-    travel_sum: jax.Array
-    loss_sum: jax.Array
-    wait_sum: jax.Array
-    departed: jax.Array
-    loaded: jax.Array
+    # Trip statistics (episode-cumulative, per chain [C] — chains 0-2 are
+    # the Mainline route, 3 On-Ramp, 4 Off-Ramp)
+    arrived: jax.Array         # [C]
+    travel_sum: jax.Array      # [C]
+    loss_sum: jax.Array        # [C]
+    wait_sum: jax.Array        # [C]
+    departed: jax.Array        # []
+    loaded: jax.Array          # []
+    # Emissions (episode-cumulative over all active vehicles; the physical
+    # wheel-power model from sim/physics.py, same constants as the C++ sim)
+    co2_sum: jax.Array         # [] mg
+    nox_sum: jax.Array         # [] mg
 
 
 def _zeros_state(rng: jax.Array, demand: jax.Array) -> SimState:
@@ -143,8 +148,10 @@ def _zeros_state(rng: jax.Array, demand: jax.Array) -> SimState:
         loop_step_count=z(*LOOP_SHAPE),
         loop_step_speed=z(*LOOP_SHAPE),
         breakdown=z(),
-        arrived=z(), travel_sum=z(), loss_sum=z(), wait_sum=z(),
+        arrived=z(N_CHAINS), travel_sum=z(N_CHAINS), loss_sum=z(N_CHAINS),
+        wait_sum=z(N_CHAINS),
         departed=z(), loaded=z(),
+        co2_sum=z(), nox_sum=z(),
     )
 
 
@@ -398,10 +405,10 @@ def _pop_arrivals(state: SimState) -> SimState:
             pos=s.pos.at[c_idx, s.head].set(jnp.where(done, 1e9, head_pos)),
             head=jnp.where(done, (s.head + 1) % SLOTS, s.head),
             count=jnp.where(done, s.count - 1, s.count),
-            arrived=s.arrived + d.sum(),
-            travel_sum=s.travel_sum + (d * travel).sum(),
-            loss_sum=s.loss_sum + (d * loss).sum(),
-            wait_sum=s.wait_sum + (d * waited).sum(),
+            arrived=s.arrived + d,
+            travel_sum=s.travel_sum + d * travel,
+            loss_sum=s.loss_sum + d * loss,
+            wait_sum=s.wait_sum + d * waited,
         )
 
     return pop_once(pop_once(state))
@@ -512,8 +519,29 @@ def _step_1s_pallas(state: SimState) -> SimState:
     )
 
 
+def _accumulate_emissions(state: SimState, speed_prev: jax.Array) -> SimState:
+    """Per-second CO2/NOx from the wheel-power model (sim/physics.py —
+    same constants as the generated C++ header)."""
+    from .physics import (
+        CO2_IDLE_MGPS,
+        CO2_PER_WHEEL_J_MG,
+        NOX_IDLE_MGPS,
+        NOX_PER_WHEEL_J_MG,
+        wheel_power_w,
+    )
+
+    a = state.speed - speed_prev  # m/s over the 1 s step
+    p = wheel_power_w(state.speed, a)
+    act = state.active
+    co2 = jnp.where(act, CO2_IDLE_MGPS + CO2_PER_WHEEL_J_MG * p, 0.0).sum()
+    nox = jnp.where(act, NOX_IDLE_MGPS + NOX_PER_WHEEL_J_MG * p, 0.0).sum()
+    return state._replace(co2_sum=state.co2_sum + co2,
+                          nox_sum=state.nox_sum + nox)
+
+
 def step_1s(state: SimState) -> SimState:
     """One simulation second: physics substeps, detectors, exits, spawns."""
+    speed_prev = state.speed
     if use_pallas_substeps():
         state = _step_1s_pallas(state)
     else:
@@ -521,6 +549,7 @@ def step_1s(state: SimState) -> SimState:
         state = _physics(state)
         state = state._replace(t=state.t + 1.0)
         state = _detector_pass(state, pos_prev)
+    state = _accumulate_emissions(state, speed_prev)
     state = _update_breakdown(state)
     state = _pop_arrivals(state)
     state = _spawn(state)

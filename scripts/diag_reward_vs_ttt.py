@@ -44,10 +44,12 @@ def run(policy_fn, name):
     # TTT proxy: completed-trip travel + in-network vehicles' elapsed time
     elapsed = jnp.where(sim.active, sim.t[:, None, None] - sim.depart_t,
                         0.0).sum(axis=(1, 2))
-    ttt = sim.travel_sum + elapsed
+    ttt = sim.travel_sum.sum(axis=1) + elapsed
     q = jnp.stack(queues)
     print(f"{name:14s} reward/ep {ret.mean():8.2f}  TTT {ttt.mean():10.0f}  "
-          f"arrived {sim.arrived.mean():6.0f}  loss_sum {sim.loss_sum.mean():9.0f}  "
+          f"arrived {sim.arrived.sum(axis=1).mean():6.0f}  "
+          f"loss_sum {sim.loss_sum.sum(axis=1).mean():9.0f}  "
+          f"co2 {sim.co2_sum.mean():.3e}  "
           f"queue mean {q.mean():5.1f} max {q.max():5.1f}")
 
 

@@ -71,7 +71,7 @@ def test_vehicle_conservation(rolled):
     sim = states.sim
     active = np.asarray(sim.active.sum(axis=(1, 2)), np.float32)
     departed = np.asarray(sim.departed)
-    arrived = np.asarray(sim.arrived)
+    arrived = np.asarray(sim.arrived).sum(axis=1)  # per-chain -> total
     np.testing.assert_allclose(departed - arrived, active, atol=0.5)
     assert np.all(arrived >= 0)
     # Demand was loaded at the drawn rates (125 s elapsed).
@@ -110,8 +110,8 @@ def test_metering_controls_queue():
     # Emergent capacity drop: unmetered merging congests the bottleneck, so
     # restrictive metering yields at least comparable corridor throughput
     # (the premise of ramp metering; observed: metered strictly higher).
-    arr_red = float(np.asarray(s_red.sim.arrived)[0])
-    arr_green = float(np.asarray(s_green.sim.arrived)[0])
+    arr_red = float(np.asarray(s_red.sim.arrived)[0].sum())
+    arr_green = float(np.asarray(s_green.sim.arrived)[0].sum())
     assert arr_red >= 0.95 * arr_green
 
 

