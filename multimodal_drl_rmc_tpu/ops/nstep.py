@@ -18,9 +18,31 @@ from __future__ import annotations
 
 from collections import deque
 
+import jax.numpy as jnp
 import numpy as np
 
 from .losses import Batch
+
+
+def nstep_window_reduce(rew_w, done_w, gamma: float):
+    """Fixed-shape n-step reduction for the on-device trainer.
+
+    rew_w/done_w: [n, B] — the window's per-step rewards and terminal flags
+    (oldest first). Returns (R, done_n): the discounted return masked at the
+    first terminal (rewards after a done belong to the auto-reset's next
+    episode and must not leak in), and whether any step in the window
+    terminated. Matches the host NStepAccumulator's emit-on-terminal
+    semantics: a terminal inside the window yields the partial return with
+    done=1, so the TD target never bootstraps and the shorter horizon is
+    exact (the learner's gamma**n multiplies (1-done), which is 0).
+    """
+    n = rew_w.shape[0]
+    cont = jnp.cumprod(1.0 - done_w, axis=0)                    # [n, B]
+    mask = jnp.concatenate([jnp.ones_like(cont[:1]), cont[:-1]], axis=0)
+    gammas = (gamma ** jnp.arange(n, dtype=rew_w.dtype))[:, None]
+    ret = (gammas * rew_w * mask).sum(axis=0)
+    done_n = 1.0 - cont[-1]
+    return ret, done_n
 
 
 class NStepAccumulator:

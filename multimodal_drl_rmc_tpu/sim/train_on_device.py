@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..agents.dqn import make_learner
 from ..config import Config
 from ..ops.losses import Batch
+from ..ops.nstep import nstep_window_reduce
 from ..runtime import checkpoint
 from ..runtime.metrics import MetricsWriter
 from .env import DeviceRampEnv, EnvState
@@ -36,6 +37,10 @@ class Carry(NamedTuple):
     ep_ret: jax.Array      # [B] running episode returns
     rew_mean: jax.Array    # [] EMA of finished-episode returns
     episodes: jax.Array    # [] finished-episode count
+    # n-step FIFO window (None when n_step == 1): the last n-1 transitions'
+    # pre-step obs [n-1, B, D], actions [n-1, B], rewards [n-1, B], and
+    # terminal flags [n-1, B], oldest first.
+    nstep: object = None
 
 
 class DeviceTrainer:
@@ -66,8 +71,11 @@ class DeviceTrainer:
 
         learner, env, B = self.learner, self.env, self.batch
         k_updates = self.k_updates
+        n_step = cfg.hp.n_step
+        gamma = cfg.hp.gamma
 
-        def one_iter(carry: Carry, random_actions: bool) -> tuple[Carry, dict]:
+        def one_iter(carry: Carry, random_actions: bool,
+                     learn: bool = True) -> tuple[Carry, dict]:
             rng, r_act, r_train = jax.random.split(carry.rng, 3)
             if random_actions:
                 actions = jax.random.randint(r_act, (B,), 0, env.n_actions)
@@ -75,12 +83,29 @@ class DeviceTrainer:
                 actions = learner.select_actions(carry.train_state, carry.obs, r_act)
             env_states, (obs_final, obs_next, rew, done, _m) = env.step(
                 carry.env_states, actions)
-            buffer = learner.insert(
-                carry.buffer,
-                Batch(obs=carry.obs, action=actions, reward=rew,
-                      done=done.astype(jnp.float32), next_obs=obs_final),
-            )
-            if random_actions:
+            done_f = done.astype(jnp.float32)
+            if n_step > 1:
+                # Window = FIFO of the last n-1 transitions + the current
+                # one; emit the n-step transition that STARTS at the oldest
+                # entry (ops/nstep.nstep_window_reduce masks rewards past a
+                # terminal; done inside the window => done_n=1, so next_obs
+                # is never bootstrapped from and obs_final is correct).
+                nb = carry.nstep
+                obs_w = jnp.concatenate([nb["obs"], carry.obs[None]], axis=0)
+                act_w = jnp.concatenate([nb["act"], actions[None]], axis=0)
+                rew_w = jnp.concatenate([nb["rew"], rew[None]], axis=0)
+                done_w = jnp.concatenate([nb["done"], done_f[None]], axis=0)
+                ret_n, done_n = nstep_window_reduce(rew_w, done_w, gamma)
+                batch = Batch(obs=obs_w[0], action=act_w[0], reward=ret_n,
+                              done=done_n, next_obs=obs_final)
+                nstep_next = {"obs": obs_w[1:], "act": act_w[1:],
+                              "rew": rew_w[1:], "done": done_w[1:]}
+            else:
+                batch = Batch(obs=carry.obs, action=actions, reward=rew,
+                              done=done_f, next_obs=obs_final)
+                nstep_next = None
+            buffer = learner.insert(carry.buffer, batch)
+            if random_actions or not learn:
                 train_state, metrics = carry.train_state, None
             elif k_updates > 1:
                 train_state, buffer, metrics = learner.train_many(
@@ -103,6 +128,7 @@ class DeviceTrainer:
                 ep_ret=jnp.where(done, 0.0, ep_ret),
                 rew_mean=rew_mean,
                 episodes=carry.episodes + n_done,
+                nstep=nstep_next,
             )
             out = {
                 "reward": rew.mean(),
@@ -113,10 +139,14 @@ class DeviceTrainer:
 
         import functools
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def warm_chunk(carry: Carry, n: int = 8):
+        @functools.partial(jax.jit, static_argnums=(1, 2))
+        def warm_chunk(carry: Carry, n: int = 8, greedy: bool = False):
+            """Buffer refill. Fresh runs use random actions; resumed runs
+            refill on-policy (reference train.py:68-72) — epsilon is
+            already at its resumed schedule value, so select_actions is
+            the reference's greedy-with-eps_min refill."""
             def body(c, _):
-                return one_iter(c, True)
+                return one_iter(c, random_actions=not greedy, learn=False)
             return jax.lax.scan(body, carry, None, length=n)[0]
 
         @jax.jit
@@ -139,12 +169,27 @@ class DeviceTrainer:
         train_state = self.learner.init_state(r_state)
         rew_mean = 0.0
         episodes = 0
+        self.resumed = False
         if self.cfg.hp.load:
             train_state, meta = checkpoint.try_resume(self.cfg, train_state)
             rew_mean = meta.get("rew_mean", 0.0)
             episodes = meta.get("episode_count", 0)
             if meta.get("step", 0):
+                self.resumed = True
                 print(f"resumed device trainer at step {meta['step']}")
+        nstep = None
+        if self.cfg.hp.n_step > 1:
+            m = self.cfg.hp.n_step - 1
+            B, D = self.batch, self.env.obs_size
+            # done=1 in the initial window: the first m emitted transitions
+            # are zero-state terminals with ~0 return — noise-level among
+            # the 100k random warm-up transitions.
+            nstep = {
+                "obs": jnp.zeros((m, B, D), jnp.float32),
+                "act": jnp.zeros((m, B), jnp.int32),
+                "rew": jnp.zeros((m, B), jnp.float32),
+                "done": jnp.ones((m, B), jnp.float32),
+            }
         return Carry(
             env_states=env_states, obs=obs,
             train_state=train_state,
@@ -153,6 +198,7 @@ class DeviceTrainer:
             ep_ret=jnp.zeros((self.batch,), jnp.float32),
             rew_mean=jnp.asarray(rew_mean, jnp.float32),
             episodes=jnp.asarray(float(episodes)),
+            nstep=nstep,
         )
 
     def run(self, log: bool = True) -> Carry:
@@ -165,7 +211,7 @@ class DeviceTrainer:
         done_warm = 0
         while done_warm < warm_iters:
             n = min(8, warm_iters - done_warm)
-            carry = self._warm_chunk(carry, n)
+            carry = self._warm_chunk(carry, n, self.resumed)
             done_warm += n
 
         total_iters = max(1, cfg.hp.max_total_steps // self.batch)

