@@ -21,7 +21,7 @@ BATCH = 32          # reference batch size (env/dqn_config.py:36)
 CAPACITY = 1_000_000  # reference max_mem (env/dqn_config.py:39)
 OBS = 14 + 2 * 27 * 5
 STEPS = 4096
-TORCH_STEPS = 60
+TORCH_STEPS = 500  # ~15 s on one CPU core; enough to quench sample variance
 
 
 def bench_tpu() -> float:

@@ -59,10 +59,23 @@ def evaluate_strategy(
     obs_variant: str = "hybrid",
     cfg: Config | None = None,
     spillback_threshold: float = 20.0,
+    pen_rate: float | None = None,
+    tag: str = "",
 ) -> pd.DataFrame:
+    """``pen_rate`` freezes the CV penetration draw for the detection
+    ablation (reference: full detection puts ~all vehicles in the connected
+    class, sumo_env.py:586-594; partial keeps the training draw :597-602).
+    ``tag`` suffixes the results CSV name (results_<Strategy><tag>.csv)."""
+    if pen_rate is not None:
+        import dataclasses
+
+        cfg = cfg or Config()
+        scen = dataclasses.replace(
+            cfg.env.scenario, con_penetration_rate_range=(pen_rate, pen_rate))
+        cfg = cfg.replace(env=dataclasses.replace(cfg.env, scenario=scen))
     os.makedirs(output_dir, exist_ok=True)
     rows = []
-    sumo_log_path = os.path.join(output_dir, f"temp_sumo_log_{strategy}.log")
+    sumo_log_path = os.path.join(output_dir, f"temp_sumo_log_{strategy}{tag}.log")
 
     for episode in range(num_episodes):
         seed = master_seed + episode
@@ -100,7 +113,7 @@ def evaluate_strategy(
         print(f"[{strategy}] episode {episode + 1}/{num_episodes} done")
 
     df = pd.DataFrame(rows)
-    out_csv = os.path.join(output_dir, f"results_{strategy}.csv")
+    out_csv = os.path.join(output_dir, f"results_{strategy}{tag}.csv")
     df.to_csv(out_csv, index=False, float_format="%.4f")
     print(f"results -> {out_csv}")
     return df
@@ -118,6 +131,11 @@ def main(argv=None) -> None:
                         choices=("auto", "fake", "native", "sumo"))
     parser.add_argument("--obs-variant", type=str, default="hybrid",
                         choices=("hybrid", "macro_lane", "macro_no_lane"))
+    parser.add_argument("--pen-rate", type=float, default=None,
+                        help="freeze the CV penetration rate (detection "
+                             "ablation); default keeps the training draw")
+    parser.add_argument("--tag", type=str, default="",
+                        help="suffix for the results CSV name")
     args = parser.parse_args(argv)
     evaluate_strategy(
         args.strategy,
@@ -127,6 +145,8 @@ def main(argv=None) -> None:
         output_dir=args.output_dir,
         backend=args.backend,
         obs_variant=args.obs_variant,
+        pen_rate=args.pen_rate,
+        tag=args.tag,
     )
 
 
