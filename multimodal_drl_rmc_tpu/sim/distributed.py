@@ -45,7 +45,12 @@ class DistributedDeviceTrainer:
     CHUNK = 8
 
     def __init__(self, cfg: Config, mesh: Mesh, envs_per_device: int,
-                 axis: str = "dp", seed: int = 0):
+                 axis: str = "dp", seed: int = 0, replay_ratio: float = 0.0):
+        """``replay_ratio`` = learner updates per env transition, as in the
+        single-chip DeviceTrainer: each local_train is ONE global update
+        (the batch splits across shards), so k = replay_ratio * B updates
+        run per superstep and schedules see n_env = B / k. 0 keeps the
+        legacy one-update-per-superstep behavior (used by tiny dryruns)."""
         self.cfg = cfg
         self.mesh = mesh
         self.axis = axis
@@ -53,6 +58,15 @@ class DistributedDeviceTrainer:
         self.ndev = ndev
         self.batch = envs_per_device * ndev
         self.local_b = envs_per_device
+        if replay_ratio > 0:
+            self.k_updates = max(1, int(round(replay_ratio * self.batch)))
+            import dataclasses
+
+            cfg = cfg.replace(hp=dataclasses.replace(
+                cfg.hp, n_env=max(1, round(self.batch / self.k_updates))))
+        else:
+            self.k_updates = 1
+        k_updates = self.k_updates
         fns = make_local_fns(cfg, ndev, axis)
         self.fns = fns
         reset_one, obs_one, step_one = make_env_fns(cfg.env)
@@ -86,6 +100,16 @@ class DistributedDeviceTrainer:
             if random_actions:
                 train_state = carry.train_state
                 metrics = Metrics(jnp.zeros(()), jnp.zeros(()), jnp.ones(()))
+            elif k_updates > 1:
+                def upd(tb, key):
+                    ts, bf = tb
+                    ts, bf, m = fns.local_train(ts, bf, key)
+                    return (ts, bf), m
+
+                (train_state, buffer), ms = jax.lax.scan(
+                    upd, (carry.train_state, buffer),
+                    jax.random.split(rng_train, k_updates))
+                metrics = jax.tree_util.tree_map(lambda x: x[-1], ms)
             else:
                 train_state, buffer, metrics = fns.local_train(
                     carry.train_state, buffer, rng_train)
