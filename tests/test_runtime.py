@@ -158,3 +158,21 @@ def test_macro_variant_policy(tmp_path):
     info = runner.run_episode(seed=0)
     assert info["l"] == 3
     runner.close()
+
+
+def test_evaluate_pen_rate_freeze_and_tag(tmp_path):
+    """Detection-ablation plumbing: --pen-rate freezes the per-episode CV
+    penetration draw and --tag suffixes the results CSV."""
+    import pandas as pd
+
+    from multimodal_drl_rmc_tpu.config import Config, EnvConfig, ScenarioConfig
+    from multimodal_drl_rmc_tpu.runtime.evaluate import evaluate_strategy
+
+    cfg = Config(env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)))
+    df = evaluate_strategy(
+        "FixedCycleBaseline", num_episodes=2, master_seed=7,
+        output_dir=str(tmp_path), backend="fake", cfg=cfg,
+        pen_rate=1.0, tag="Full",
+    )
+    assert (df["con_penetration_rate"] == 1.0).all()
+    assert (tmp_path / "results_FixedCycleBaselineFull.csv").exists()
