@@ -29,17 +29,23 @@ COLUMNS = {
 
 
 def main(results_dir: str = "evaluation/results") -> pd.DataFrame:
+    import glob
+    import os
+
+    # Canonical strategies first, then any extra (tagged/ablation) rows.
+    found = {os.path.basename(p)[len("results_"):-len(".csv")]: p
+             for p in glob.glob(f"{results_dir}/results_*.csv")}
+    ordered = [s for s in STRATEGIES if s in found]
+    ordered += sorted(s for s in found if s not in STRATEGIES)
+
     rows = []
-    for s in STRATEGIES:
-        try:
-            df = pd.read_csv(f"{results_dir}/results_{s}.csv")
-        except FileNotFoundError:
-            continue
-        rows.append({"strategy": s,
+    for s in ordered:
+        df = pd.read_csv(found[s])
+        rows.append({"strategy": s, "episodes": len(df),
                      **{label: df[col].mean() for col, label in COLUMNS.items()
                         if col in df.columns}})
     table = pd.DataFrame(rows)
-    pd.set_option("display.width", 200)
+    pd.set_option("display.width", 220)
     print(table.round(2).to_string(index=False))
     return table
 
