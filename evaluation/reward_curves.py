@@ -22,19 +22,30 @@ import json
 import os
 
 
-def load_run(jsonl_path: str) -> dict:
-    """tag -> list[(step, value)], step-sorted."""
+def load_run(jsonl_path: str) -> list:
+    """List of segments, each ``tag -> list[(step, value)]`` in file order.
+
+    A metrics.jsonl accumulates across restarts in the same run directory
+    (runtime/metrics.py appends, like the reference's tensorboard event
+    files); a step DECREASE marks a new training run, so split there
+    instead of sorting runs into each other."""
+    segments: list = []
     series: dict = {}
+    last_step = None
     with open(jsonl_path) as f:
         for line in f:
             try:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if last_step is not None and rec["step"] < last_step:
+                segments.append(series)
+                series = {}
+            last_step = rec["step"]
             series.setdefault(rec["tag"], []).append((rec["step"], rec["value"]))
-    for tag in series:
-        series[tag].sort()
-    return series
+    if series:
+        segments.append(series)
+    return segments
 
 
 def find_runs(root: str) -> dict:
@@ -95,11 +106,17 @@ def main(argv=None) -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     all_series = {}
     for name, path in find_runs(args.log_root).items():
-        series = load_run(path)
-        n = export_csv(series, os.path.join(args.output_dir, f"{name}.csv"))
-        if n:
-            all_series[name] = series
-            print(f"{name}: {n} points -> {name}.csv")
+        segments = load_run(path)
+        for i, series in enumerate(segments):
+            # Latest segment keeps the bare run name; earlier substantial
+            # restarts are suffixed; short debug segments are dropped.
+            if i < len(segments) - 1 and len(series.get("AvgRew", ())) < 20:
+                continue
+            seg_name = name if i == len(segments) - 1 else f"{name}__run{i}"
+            n = export_csv(series, os.path.join(args.output_dir, f"{seg_name}.csv"))
+            if n and i == len(segments) - 1:
+                all_series[seg_name] = series
+                print(f"{seg_name}: {n} points -> {seg_name}.csv")
     if all_series:
         plot(all_series, os.path.join(args.output_dir, "reward_curves.png"))
     else:

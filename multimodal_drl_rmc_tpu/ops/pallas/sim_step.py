@@ -32,8 +32,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...sim.geometry import GEO, N_CHAINS, SLOTS, VEH_LENGTH_M
+from ...sim.geometry import GEO, N_CHAINS, SLOTS, SPACING_M, VEH_LENGTH_M
 from ...sim.physics import (
+    AERO_DRAG_NS2_M2,
+    BREAKDOWN_N_HI,
+    BREAKDOWN_N_LO,
+    BREAKDOWN_RATE_DOWN,
+    BREAKDOWN_RATE_UP,
+    CO2_IDLE_MGPS,
+    CO2_PER_WHEEL_J_MG,
     DT_SUB,
     EMERGENCY_B,
     FRICTION_ALPHA,
@@ -46,6 +53,10 @@ from ...sim.physics import (
     IDM_T_CROSS,
     MERGE_BIN_M as BIN_M,
     MERGE_BINS as BINS,
+    NOX_IDLE_MGPS,
+    NOX_PER_WHEEL_J_MG,
+    ROLLING_RES_N,
+    VEH_MASS_KG,
 )
 
 BIG = 1e9
@@ -380,3 +391,246 @@ def fused_step(pos, speed, active, wait, head, red, breakdown=None, *,
       seg_start, seg_end, seg_speed, stop, loop_kc)
     pos, speed, wait, cnt, spd, occ, queue = out
     return pos, speed, wait, cnt, spd, occ, queue[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# The COMPLETE 1 s sim step in one kernel: physics substeps + detectors +
+# emissions + breakdown hysteresis + arrival pop + demand spawn
+# (sim/core.step_1s in its entirety). The per-second XLA epilogue shrinks to
+# the accumulator adds; the 40-step control cycle becomes 40 kernel calls
+# with no small-HLO dispatch between them.
+#
+# Head/tail ring-buffer reads become one-hot masked reductions and the
+# writes one-hot selects (no gather/scatter — the VPU-native subset, like
+# the merge binning above). Spawn randomness (the connected-class draw) is
+# pre-drawn OUTSIDE from the same stream the XLA path uses, so both paths
+# stay bit-comparable (tests/test_pallas.py).
+# ---------------------------------------------------------------------------
+
+_CHAIN_LEN_FFTT = np.stack(
+    [np.asarray(GEO.chain_length, np.float32),
+     np.asarray(GEO.freeflow_tt, np.float32)], axis=0)       # [2, C]
+RAMP_EDGE_END = float(GEO.ramp_edge_end)
+
+
+def _full_kernel(pos_ref, speed_ref, act_ref, conn_ref, wait_ref, depart_ref,
+                 head_ref, count_ref, pending_ref,
+                 red_ref, bkd_ref, t_ref, pen_ref, ucon_ref, rate_ref,
+                 seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
+                 loop_ref, clen_ref,
+                 pos_out, speed_out, act_out, conn_out, wait_out, depart_out,
+                 head_out, count_out, pending_out,
+                 cnt_out, spd_out, occ_out,
+                 queue_out, bkd_out,
+                 arr_out, trav_out, loss_out, waitsum_out,
+                 co2_out, nox_out, dep_out, *, substeps: int):
+    pos = pos_ref[:]
+    speed = speed_ref[:]
+    act = act_ref[:]
+    conn = conn_ref[:]
+    wait = wait_ref[:]
+    depart = depart_ref[:]
+    head = head_ref[:]
+    count = count_ref[:]
+    pending = pending_ref[:]
+    red = red_ref[:][:, :, None]
+    b_in = bkd_ref[:]                       # [BT, 1]
+    t_new = t_ref[:] + 1.0                  # [BT, 1] sim time after this step
+    pen = pen_ref[:]                        # [BT, 1]
+    ucon = ucon_ref[:]                      # [BT, C]
+    rate = rate_ref[:]                      # [BT, C] veh/s
+    seg_start = seg_start_ref[:]
+    seg_end = seg_end_ref[:]
+    seg_speed = seg_speed_ref[:]
+    stop = stop_ref[:]
+    chain_len = clen_ref[0:1, :]            # [1, C]
+    fftt = clen_ref[1:2, :]                 # [1, C]
+
+    # --- physics (friction from the step-entry breakdown level) ---
+    friction = (1.0 + FRICTION_ALPHA * b_in)[:, :, None]     # [BT, 1, 1]
+    p0 = pos
+    speed0 = speed
+    for _ in range(substeps):
+        pos, speed, wait = _substep_body(
+            pos, speed, act, wait, head, red, friction,
+            seg_start, seg_end, seg_speed, stop)
+
+    # --- detectors + ramp queue (post-physics, pre-pop: sim.core order) ---
+    cnt, spd, occ = _detector_block(p0, pos, speed, act, loop_ref[:])
+    chain_row = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 1)
+    on_ramp = (act > 0.5) & (chain_row == 3) & (pos <= RAMP_EDGE_END)
+    queue_out[:] = jnp.sum(jnp.where(on_ramp, 1.0, 0.0), axis=(1, 2),
+                           keepdims=True)[:, :, 0]
+
+    # --- emissions (wheel-power model over the 1 s step) ---
+    a = speed - speed0
+    p_wheel = (ROLLING_RES_N + AERO_DRAG_NS2_M2 * speed * speed) * speed \
+        + VEH_MASS_KG * speed * a
+    p_wheel = jnp.where(p_wheel > 0, p_wheel, 0.0)
+    active = act > 0.5
+    co2_out[:] = jnp.sum(
+        jnp.where(active, CO2_IDLE_MGPS + CO2_PER_WHEEL_J_MG * p_wheel, 0.0),
+        axis=(1, 2), keepdims=True)[:, :, 0]
+    nox_out[:] = jnp.sum(
+        jnp.where(active, NOX_IDLE_MGPS + NOX_PER_WHEEL_J_MG * p_wheel, 0.0),
+        axis=(1, 2), keepdims=True)[:, :, 0]
+
+    # --- merge-breakdown hysteresis (post-physics zone count) ---
+    fr_lo = MERGE_LO - FRICTION_WINDOW_M
+    pos_common = jnp.where(chain_row == 3, pos + MERGE_OFF, pos)
+    in_window = active & (pos_common >= fr_lo) & (chain_row != 4)
+    n_zone = jnp.sum(jnp.where(in_window, 1.0, 0.0), axis=(1, 2),
+                     keepdims=True)[:, :, 0]                 # [BT, 1]
+    b = jnp.where(n_zone > BREAKDOWN_N_HI,
+                  jnp.minimum(b_in + BREAKDOWN_RATE_UP, 1.0), b_in)
+    b = jnp.where(n_zone < BREAKDOWN_N_LO,
+                  jnp.maximum(b - BREAKDOWN_RATE_DOWN, 0.0), b)
+    bkd_out[:] = b
+
+    # --- pop up to 2 arrived head vehicles per chain ---
+    col = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 2)
+    arr_d = jnp.zeros(head.shape, jnp.float32)
+    trav_d = jnp.zeros(head.shape, jnp.float32)
+    loss_d = jnp.zeros(head.shape, jnp.float32)
+    waitsum_d = jnp.zeros(head.shape, jnp.float32)
+    for _ in range(2):
+        is_head = col == head[:, :, None]
+        head_act = jnp.sum(jnp.where(is_head, act, 0.0), axis=2)
+        head_pos = jnp.sum(jnp.where(is_head, pos, 0.0), axis=2)
+        head_dep = jnp.sum(jnp.where(is_head, depart, 0.0), axis=2)
+        head_wait = jnp.sum(jnp.where(is_head, wait, 0.0), axis=2)
+        done = (head_act > 0.5) & (head_pos > chain_len)
+        d = jnp.where(done, 1.0, 0.0)
+        travel = t_new - head_dep
+        arr_d = arr_d + d
+        trav_d = trav_d + d * travel
+        loss_d = loss_d + d * jnp.maximum(travel - fftt, 0.0)
+        waitsum_d = waitsum_d + d * head_wait
+        # bool [BT,C]->[BT,C,1] inserts are unsupported by Mosaic; route
+        # the select through the f32 flag.
+        m = is_head & (d[:, :, None] > 0.5)
+        act = jnp.where(m, 0.0, act)
+        pos = jnp.where(m, BIG, pos)
+        head = jnp.where(done, head + 1, head)
+        head = jnp.where(head >= SLOTS, head - SLOTS, head)
+        count = jnp.where(done, count - 1, count)
+    arr_out[:] = arr_d
+    trav_out[:] = trav_d
+    loss_out[:] = loss_d
+    waitsum_out[:] = waitsum_d
+
+    # --- spawn (demand arrival + tail insertion, departSpeed=max) ---
+    pending = pending + rate                                  # dt = 1 s
+    tail = head + count
+    tail = jnp.where(tail >= SLOTS, tail - SLOTS, tail)
+    tailp = tail - 1
+    tailp = jnp.where(tailp < 0, tailp + SLOTS, tailp)
+    is_tail = col == tail[:, :, None]
+    is_tailp = col == tailp[:, :, None]
+    prev_act = (jnp.sum(jnp.where(is_tailp, act, 0.0), axis=2) > 0.5) \
+        & (count > 0)
+    prev_pos = jnp.where(
+        prev_act, jnp.sum(jnp.where(is_tailp, pos, 0.0), axis=2), BIG)
+    entry_gap = prev_pos - VEH_LENGTH_M
+    can = (pending >= 1.0) & (entry_gap > SPACING_M) & (count < SLOTS - 2)
+    v_entry = jnp.minimum(seg_speed[0:1, :], entry_gap / IDM_T)   # [BT, C]
+    is_con_new = jnp.where(ucon < pen, 1.0, 0.0)
+    canf = jnp.where(can, 1.0, 0.0)
+    m = is_tail & (canf[:, :, None] > 0.5)
+    pos = jnp.where(m, 0.0, pos)
+    speed = jnp.where(m, v_entry[:, :, None], speed)
+    act = jnp.where(m, 1.0, act)
+    conn = jnp.where(m, is_con_new[:, :, None], conn)
+    depart = jnp.where(m, t_new[:, :, None], depart)
+    wait = jnp.where(m, 0.0, wait)
+    count = jnp.where(can, count + 1, count)
+    pending = pending - canf
+    dep_out[:] = jnp.sum(canf, axis=1, keepdims=True)
+
+    pos_out[:] = pos
+    speed_out[:] = speed
+    act_out[:] = act
+    conn_out[:] = conn
+    wait_out[:] = wait
+    depart_out[:] = depart
+    head_out[:] = head
+    count_out[:] = count
+    pending_out[:] = pending
+    cnt_out[:] = cnt
+    spd_out[:] = spd
+    occ_out[:] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("substeps", "block", "interpret"))
+def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
+                    pending, red, breakdown, t, pen, ucon, rate, *,
+                    substeps: int = 2, block: int = 8,
+                    interpret: bool = False):
+    """One complete sim second for a batch of envs in one kernel.
+
+    pos/speed/active/conn/wait/depart: [B, C, N] f32 (masks as 0/1);
+    head/count: [B, C] i32; pending: [B, C] f32; red/breakdown/t/pen: [B]
+    f32; ucon/rate: [B, C] f32 (pre-drawn connected-class uniforms, demand
+    rate veh/s). Returns the updated state arrays plus this step's detector
+    aggregates, ramp queue, new breakdown level, trip-stat deltas
+    (arrived/travel/loss/wait per chain) and co2/nox/departed deltas.
+    """
+    from ...sim.geometry import LOOPS_PER_CHAIN
+
+    b = pos.shape[0]
+    bt = block if b % block == 0 else b
+    grid = (b // bt,)
+    spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((bt, N_CHAINS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    speck = pl.BlockSpec((bt, N_CHAINS, LOOPS_PER_CHAIN), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    n_seg = _SEG_END.shape[1]
+    seg_spec = pl.BlockSpec((n_seg, N_CHAINS), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    stop_spec = pl.BlockSpec((N_CHAINS, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    loop_spec = pl.BlockSpec((LOOPS_PER_CHAIN, N_CHAINS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    clen_spec = pl.BlockSpec((2, N_CHAINS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    seg_start = jnp.asarray(_SEG_START.T, jnp.float32)
+    seg_end = jnp.asarray(_SEG_END.T, jnp.float32)
+    seg_speed = jnp.asarray(_SEG_SPEED.T, jnp.float32)
+    stop = jnp.asarray(_STOP, jnp.float32).reshape(N_CHAINS, 1)
+    loop_kc = jnp.asarray(GEO.loop_table_pos.T, jnp.float32)
+    clen = jnp.asarray(_CHAIN_LEN_FFTT)
+
+    shp3 = jax.ShapeDtypeStruct(pos.shape, jnp.float32)
+    shp2f = jax.ShapeDtypeStruct((b, N_CHAINS), jnp.float32)
+    shp2i = jax.ShapeDtypeStruct((b, N_CHAINS), jnp.int32)
+    shp1 = jax.ShapeDtypeStruct((b, 1), jnp.float32)
+    shpk = jax.ShapeDtypeStruct((b, N_CHAINS, LOOPS_PER_CHAIN), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_full_kernel, substeps=substeps),
+        out_shape=(shp3, shp3, shp3, shp3, shp3, shp3,      # pos..depart
+                   shp2i, shp2i, shp2f,                     # head/count/pending
+                   shpk, shpk, shpk,                        # cnt/spd/occ
+                   shp1, shp1,                              # queue, breakdown
+                   shp2f, shp2f, shp2f, shp2f,              # arr/trav/loss/wait
+                   shp1, shp1, shp1),                       # co2, nox, departed
+        grid=grid,
+        in_specs=[spec3, spec3, spec3, spec3, spec3, spec3,
+                  spec2, spec2, spec2,
+                  spec1, spec1, spec1, spec1, spec2, spec2,
+                  seg_spec, seg_spec, seg_spec, stop_spec, loop_spec,
+                  clen_spec],
+        out_specs=(spec3, spec3, spec3, spec3, spec3, spec3,
+                   spec2, spec2, spec2,
+                   speck, speck, speck,
+                   spec1, spec1,
+                   spec2, spec2, spec2, spec2,
+                   spec1, spec1, spec1),
+        interpret=interpret,
+    )(pos, speed, active, conn, wait, depart, head, count, pending,
+      red[:, None], breakdown[:, None], t[:, None], pen[:, None], ucon, rate,
+      seg_start, seg_end, seg_speed, stop, loop_kc, clen)
+    return out

@@ -414,13 +414,20 @@ def _pop_arrivals(state: SimState) -> SimState:
     return pop_once(pop_once(state))
 
 
-def _spawn(state: SimState, cfg_dt: float = 1.0) -> SimState:
-    """Demand arrival + insertion at chain starts (departSpeed=max,
-    blocked insertions accumulate in `pending` = loaded-not-inserted)."""
-    main, ramp, off, pen = (state.demand[0], state.demand[1],
-                            state.demand[2], state.demand[3])
+def _demand_rate_vps(state: SimState) -> jax.Array:
+    """Per-chain demand rate [C] veh/s from the episode's demand draw."""
+    main, ramp, off = state.demand[0], state.demand[1], state.demand[2]
     s0, s1, s2 = MAIN_LANE_SHARES
-    rate_vps = jnp.stack([main * s0, main * s1, main * s2, ramp, off]) / 3600.0
+    return jnp.stack([main * s0, main * s1, main * s2, ramp, off]) / 3600.0
+
+
+def _spawn(state: SimState, u_con: jax.Array, cfg_dt: float = 1.0) -> SimState:
+    """Demand arrival + insertion at chain starts (departSpeed=max,
+    blocked insertions accumulate in `pending` = loaded-not-inserted).
+    ``u_con``: [C] uniforms for the connected-class draw — pre-drawn by
+    ``step_1s`` so the fused Pallas path consumes the identical stream."""
+    pen = state.demand[3]
+    rate_vps = _demand_rate_vps(state)
     pending = state.pending + rate_vps * cfg_dt
     loaded = state.loaded + jnp.sum(rate_vps) * cfg_dt
 
@@ -433,8 +440,7 @@ def _spawn(state: SimState, cfg_dt: float = 1.0) -> SimState:
 
     can = (pending >= 1.0) & (entry_gap > SPACING_M) & (state.count < SLOTS - 2)
     v_entry = jnp.minimum(_SEG_SPEED[:, 0], entry_gap / IDM_T)
-    rng, r_con = jax.random.split(state.rng)
-    is_con = jax.random.uniform(r_con, (N_CHAINS,)) < pen
+    is_con = u_con < pen
 
     canf = can.astype(jnp.float32)
     return state._replace(
@@ -454,7 +460,6 @@ def _spawn(state: SimState, cfg_dt: float = 1.0) -> SimState:
         pending=pending - canf,
         departed=state.departed + canf.sum(),
         loaded=loaded,
-        rng=rng,
     )
 
 
@@ -493,32 +498,6 @@ def _physics(state: SimState) -> SimState:
     return state._replace(pos=pos[0], speed=speed[0], wait=wait[0])
 
 
-def _step_1s_pallas(state: SimState) -> SimState:
-    """Physics + detector integration fused into one kernel call."""
-    from ..ops.pallas.sim_step import fused_step
-
-    red = (state.phase == RED).astype(jnp.float32)
-    pos, speed, wait, cnt, spd, occ, queue = fused_step(
-        state.pos[None], state.speed[None],
-        state.active.astype(jnp.float32)[None], state.wait[None],
-        state.head[None], red[None], state.breakdown[None],
-        substeps=SUBSTEPS, block=1,
-    )
-    cnt, spd, occ, queue = cnt[0], spd[0], occ[0], queue[0]
-    mean_step_speed = jnp.where(cnt > 0, spd / jnp.maximum(cnt, 1.0), -1.0)
-    return state._replace(
-        pos=pos[0], speed=speed[0], wait=wait[0],
-        t=state.t + 1.0,
-        loop_count=state.loop_count + cnt,
-        loop_speed_sum=state.loop_speed_sum + spd,
-        loop_occ_time=state.loop_occ_time + occ,
-        interval_s=state.interval_s + 1.0,
-        sum_queue=state.sum_queue + queue,
-        loop_step_count=cnt,
-        loop_step_speed=mean_step_speed,
-    )
-
-
 def _accumulate_emissions(state: SimState, speed_prev: jax.Array) -> SimState:
     """Per-second CO2/NOx from the wheel-power model (sim/physics.py —
     same constants as the generated C++ header)."""
@@ -539,20 +518,71 @@ def _accumulate_emissions(state: SimState, speed_prev: jax.Array) -> SimState:
                           nox_sum=state.nox_sum + nox)
 
 
+def _step_1s_full_pallas(state: SimState, u_con: jax.Array,
+                         interpret: bool = False) -> SimState:
+    """The COMPLETE sim second as one kernel call (physics + detectors +
+    emissions + breakdown + pop + spawn); the XLA epilogue is only the
+    accumulator adds. Bit-compatible with the XLA path below
+    (tests/test_pallas.py::test_fused_step_full_matches_xla)."""
+    from ..ops.pallas.sim_step import fused_step_full
+
+    red = (state.phase == RED).astype(jnp.float32)
+    rate = _demand_rate_vps(state)
+    pen = state.demand[3]
+    (pos, speed, act, conn, wait, depart, head, count, pending,
+     cnt, spd, occ, queue, bkd, arr_d, trav_d, loss_d, wait_d,
+     co2_d, nox_d, dep_d) = fused_step_full(
+        state.pos[None], state.speed[None],
+        state.active.astype(jnp.float32)[None],
+        state.connected.astype(jnp.float32)[None],
+        state.wait[None], state.depart_t[None],
+        state.head[None], state.count[None], state.pending[None],
+        red[None], state.breakdown[None], state.t[None], pen[None],
+        u_con[None], rate[None],
+        substeps=SUBSTEPS, block=1, interpret=interpret,
+    )
+    cnt, spd, occ = cnt[0], spd[0], occ[0]
+    mean_step_speed = jnp.where(cnt > 0, spd / jnp.maximum(cnt, 1.0), -1.0)
+    return state._replace(
+        pos=pos[0], speed=speed[0], active=act[0] > 0.5,
+        connected=conn[0] > 0.5, wait=wait[0], depart_t=depart[0],
+        head=head[0], count=count[0], pending=pending[0],
+        t=state.t + 1.0,
+        loop_count=state.loop_count + cnt,
+        loop_speed_sum=state.loop_speed_sum + spd,
+        loop_occ_time=state.loop_occ_time + occ,
+        interval_s=state.interval_s + 1.0,
+        sum_queue=state.sum_queue + queue[0, 0],
+        loop_step_count=cnt,
+        loop_step_speed=mean_step_speed,
+        breakdown=bkd[0, 0],
+        arrived=state.arrived + arr_d[0],
+        travel_sum=state.travel_sum + trav_d[0],
+        loss_sum=state.loss_sum + loss_d[0],
+        wait_sum=state.wait_sum + wait_d[0],
+        departed=state.departed + dep_d[0, 0],
+        loaded=state.loaded + rate.sum(),
+        co2_sum=state.co2_sum + co2_d[0, 0],
+        nox_sum=state.nox_sum + nox_d[0, 0],
+    )
+
+
 def step_1s(state: SimState) -> SimState:
     """One simulation second: physics substeps, detectors, exits, spawns."""
-    speed_prev = state.speed
+    rng, r_con = jax.random.split(state.rng)
+    u_con = jax.random.uniform(r_con, (N_CHAINS,))
+    state = state._replace(rng=rng)
     if use_pallas_substeps():
-        state = _step_1s_pallas(state)
-    else:
-        pos_prev = state.pos
-        state = _physics(state)
-        state = state._replace(t=state.t + 1.0)
-        state = _detector_pass(state, pos_prev)
+        return _step_1s_full_pallas(state, u_con)
+    speed_prev = state.speed
+    pos_prev = state.pos
+    state = _physics(state)
+    state = state._replace(t=state.t + 1.0)
+    state = _detector_pass(state, pos_prev)
     state = _accumulate_emissions(state, speed_prev)
     state = _update_breakdown(state)
     state = _pop_arrivals(state)
-    state = _spawn(state)
+    state = _spawn(state, u_con)
     return state
 
 

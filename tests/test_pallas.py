@@ -114,3 +114,73 @@ def test_fused_step_detectors_match_xla(traffic_states):
         atol=1e-3)
     np.testing.assert_allclose(
         np.asarray(ref.sum_queue - sims.sum_queue), np.asarray(queue), atol=1e-4)
+
+
+def test_fused_step_full_matches_xla(traffic_states):
+    """The whole-1s-step kernel (physics + detectors + emissions +
+    breakdown + pop + spawn) == the XLA step_1s, field by field."""
+    sims = traffic_states
+
+    def xla_step(s):
+        return core.step_1s(s)  # CPU -> XLA path
+
+    ref = jax.jit(jax.vmap(xla_step))(sims)
+
+    def pallas_step(s):
+        rng, r_con = jax.random.split(s.rng)
+        u_con = jax.random.uniform(r_con, (core.N_CHAINS,))
+        s = s._replace(rng=rng)
+        return core._step_1s_full_pallas(s, u_con, interpret=True)
+
+    got = jax.jit(jax.vmap(pallas_step))(sims)
+
+    act = np.asarray(ref.active)
+    for name in core.SimState._fields:
+        r = np.asarray(getattr(ref, name))
+        g = np.asarray(getattr(got, name))
+        if name == "rng":
+            np.testing.assert_array_equal(r, g)
+            continue
+        if r.shape[-1:] == (core.SLOTS,):
+            # Inactive slots may hold 1e9 vs stale values; compare only
+            # slots active in EITHER (covers popped + spawned slots).
+            either = act | np.asarray(got.active)
+            r = np.where(either, r, 0.0)
+            g = np.where(either, g, 0.0)
+        np.testing.assert_allclose(
+            r.astype(np.float64), g.astype(np.float64),
+            rtol=1e-5, atol=1e-3, err_msg=f"field {name}")
+
+
+def test_fused_step_full_over_a_cycle(traffic_states):
+    """40 consecutive full-kernel steps stay in lockstep with XLA (ring
+    wraparound, spawns, pops, breakdown accumulation all exercised)."""
+    sims = jax.tree_util.tree_map(lambda x: x[:2], traffic_states)
+
+    def run_pallas(s):
+        def body(ss, _):
+            rng, r_con = jax.random.split(ss.rng)
+            u_con = jax.random.uniform(r_con, (core.N_CHAINS,))
+            ss = ss._replace(rng=rng)
+            return core._step_1s_full_pallas(ss, u_con, interpret=True), None
+        return jax.lax.scan(body, s, None, length=40)[0]
+
+    def run_xla(s):
+        def body(ss, _):
+            return core.step_1s(ss), None
+        return jax.lax.scan(body, s, None, length=40)[0]
+
+    ref = jax.jit(jax.vmap(run_xla))(sims)
+    got = jax.jit(jax.vmap(run_pallas))(sims)
+
+    np.testing.assert_allclose(np.asarray(ref.arrived), np.asarray(got.arrived))
+    np.testing.assert_allclose(np.asarray(ref.travel_sum),
+                               np.asarray(got.travel_sum), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.loop_count),
+                               np.asarray(got.loop_count))
+    np.testing.assert_allclose(np.asarray(ref.co2_sum),
+                               np.asarray(got.co2_sum), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.breakdown),
+                               np.asarray(got.breakdown), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref.head), np.asarray(got.head))
+    np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(got.count))
