@@ -215,11 +215,20 @@ class DeviceTrainer:
             done_warm += n
 
         total_iters = max(1, cfg.hp.max_total_steps // self.batch)
+        # Periodic full-state saves (~every 2 min at B=256 steady state) so a
+        # host/tunnel failure costs minutes, not the run: the reference saves
+        # every save_freq steps (agent.py:123-128); here a full TrainState
+        # dump blocks the device pipeline, so cadence is the coarser of the
+        # two. Resume with hp.load=True (on-policy warm refill, train.py:68-72).
+        save_iters = max(cfg.hp.save_freq // self.batch,
+                         512) // self.CHUNK * self.CHUNK or self.CHUNK
         t0 = time.time()
         it = 0
         while it < total_iters:
             carry, out = self._train_chunk(carry)
             it += self.CHUNK
+            if it % save_iters == 0 and it < total_iters:
+                self.save(carry)
             if writer and (it % max(self.CHUNK, (cfg.hp.log_freq // self.batch)
                                     // self.CHUNK * self.CHUNK or self.CHUNK) == 0):
                 jax.block_until_ready(out["loss"])
