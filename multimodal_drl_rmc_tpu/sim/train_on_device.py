@@ -162,6 +162,8 @@ class DeviceTrainer:
         self._train_chunk = train_chunk
 
     CHUNK = 16
+    SAVE_MIN_ITERS = 512        # periodic-save cadence floor (iterations)
+    SNAPSHOT_EVERY = 1_000_000  # env steps between step-tagged pack copies
 
     def init_carry(self) -> Carry:
         self.rng, r_env, r_state = jax.random.split(self.rng, 3)
@@ -221,7 +223,8 @@ class DeviceTrainer:
         # dump blocks the device pipeline, so cadence is the coarser of the
         # two. Resume with hp.load=True (on-policy warm refill, train.py:68-72).
         save_iters = max(cfg.hp.save_freq // self.batch,
-                         512) // self.CHUNK * self.CHUNK or self.CHUNK
+                         self.SAVE_MIN_ITERS) // self.CHUNK * self.CHUNK \
+            or self.CHUNK
         t0 = time.time()
         it = 0
         while it < total_iters:
@@ -229,6 +232,17 @@ class DeviceTrainer:
             it += self.CHUNK
             if it % save_iters == 0 and it < total_iters:
                 self.save(carry)
+                # Step-tagged snapshot every SNAPSHOT_EVERY env steps: long
+                # runs can regress late (the reference keeps only the last
+                # save); tagged packs let eval pick the best checkpoint.
+                se = self.SNAPSHOT_EVERY
+                if (it * self.batch) // se > \
+                        ((it - save_iters) * self.batch) // se:
+                    import shutil
+                    pack = checkpoint.pack_path(self.cfg)
+                    tag = f"_step{(it * self.batch) // se * se // 1000}k"
+                    shutil.copyfile(pack, pack.replace("_model.pack",
+                                                       f"{tag}_model.pack"))
             if writer and (it % max(self.CHUNK, (cfg.hp.log_freq // self.batch)
                                     // self.CHUNK * self.CHUNK or self.CHUNK) == 0):
                 jax.block_until_ready(out["loss"])

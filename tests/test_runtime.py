@@ -176,3 +176,28 @@ def test_evaluate_pen_rate_freeze_and_tag(tmp_path):
     )
     assert (df["con_penetration_rate"] == 1.0).all()
     assert (tmp_path / "results_FixedCycleBaselineFull.csv").exists()
+
+
+def test_device_trainer_periodic_saves_and_snapshots(tmp_path, monkeypatch):
+    """run() checkpoints mid-run (a host failure costs minutes, not the run)
+    and copies step-tagged snapshot packs at the SNAPSHOT_EVERY cadence."""
+    import glob
+
+    from multimodal_drl_rmc_tpu.sim.train_on_device import DeviceTrainer
+
+    monkeypatch.setattr(DeviceTrainer, "SAVE_MIN_ITERS", 32)
+    monkeypatch.setattr(DeviceTrainer, "SNAPSHOT_EVERY", 128)
+    cfg = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+        hp=HyperParams(batch_size=8, min_mem=8, max_mem=512, save_freq=1,
+                       load=False, max_total_steps=200,
+                       save_dir=str(tmp_path / "save") + "/",
+                       log_dir=str(tmp_path / "logs") + "/"),
+    )
+    tr = DeviceTrainer(cfg, batch=2, replay_ratio=1.0)
+    tr.run(log=False)  # NO final save() call — files must come from run()
+    assert os.path.isfile(checkpoint.pack_path(cfg))
+    assert os.path.isfile(checkpoint.state_path(cfg))
+    snaps = glob.glob(str(tmp_path / "save" / "*_step*k_model.pack"))
+    # 100 iters at batch=2, saves every 32 iters -> crosses 128 env steps.
+    assert snaps, "expected at least one step-tagged snapshot pack"
