@@ -1,7 +1,11 @@
 """Cross-strategy summary table from results_<Strategy>.csv files.
 
-Usage: python evaluation/summarize.py [results_dir]
-Prints the BASELINE.md-style comparison (means over episodes).
+Usage: python evaluation/summarize.py [results_dir] [--paired [BASE]]
+Prints the BASELINE.md-style comparison (means over episodes). With
+--paired, adds per-seed paired differences vs BASE (default
+FixedCycleBaseline): evaluate.py gives every strategy the same per-episode
+demand draws (seed = master+i, reference evaluate.py:56-59), so paired
+stats cancel the demand variance that dominates raw episode spread.
 """
 
 from __future__ import annotations
@@ -50,5 +54,50 @@ def main(results_dir: str = "evaluation/results") -> pd.DataFrame:
     return table
 
 
+def paired(results_dir: str = "evaluation/results",
+           base: str = "FixedCycleBaseline") -> pd.DataFrame:
+    """Per-seed paired differences vs ``base`` (negative = better than base
+    on TTT/delay). mean ± 1.96·sem over the common seeds + win rate."""
+    import glob
+    import os
+
+    found = {os.path.basename(p)[len("results_"):-len(".csv")]: p
+             for p in glob.glob(f"{results_dir}/results_*.csv")}
+    if base not in found:
+        raise SystemExit(f"no results for base strategy {base}")
+    bdf = pd.read_csv(found[base]).set_index("seed")
+    rows = []
+    for s, path in sorted(found.items()):
+        if s == base:
+            continue
+        df = pd.read_csv(path).set_index("seed")
+        common = df.index.intersection(bdf.index)
+        if len(common) < 2:
+            continue
+        row = {"strategy": s, "n": len(common)}
+        for col, label in (("total_travel_time", "dTTT"),
+                           ("avg_time_loss", "dDelay")):
+            d = df.loc[common, col] - bdf.loc[common, col]
+            sem = d.std(ddof=1) / len(d) ** 0.5
+            row[f"{label} mean"] = d.mean()
+            row[f"{label} ±95%"] = 1.96 * sem
+            row[f"{label} win%"] = 100.0 * (d < 0).mean()
+        rows.append(row)
+    table = pd.DataFrame(rows)
+    print(f"\nPaired per-seed differences vs {base} "
+          f"(negative = better than {base}):")
+    print(table.round(2).to_string(index=False))
+    return table
+
+
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    args = [a for a in sys.argv[1:]]
+    do_paired = "--paired" in args
+    if do_paired:
+        i = args.index("--paired")
+        args.pop(i)
+        base = args.pop(i) if i < len(args) and not args[i].startswith("-") \
+            else "FixedCycleBaseline"
+    main(*args)
+    if do_paired:
+        paired(*args, base=base)
