@@ -1,0 +1,162 @@
+"""Static comparison plots from results_<Strategy>.csv files.
+
+The reference ships ~70 notebook-generated comparison plots under
+`evaluation/results/plots/` (reference evaluatiom.ipynb outputs,
+SURVEY.md §1 L6); this is the equivalent generator for this framework's
+results. Produces:
+
+  * strategy_comparison.png — per-metric small multiples (means over the
+    seeded episodes), one hue with the DQN rows accented;
+  * paired_differences.png — per-seed paired TTT/delay differences vs
+    FixedCycle with 95% CIs (same demand draws per seed, so the paired
+    comparison cancels demand variance).
+
+Usage: python evaluation/plots.py [results_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import pandas as pd  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from summarize import main as summarize, paired  # noqa: E402
+
+# Validated light-mode palette (dataviz reference instance).
+ACCENT = "#2a78d6"     # DQN rows
+NEUTRAL = "#b9b8b2"    # classical baselines
+BETTER = "#2a78d6"     # improvement vs base (negative diff)
+WORSE = "#eb6834"      # regression vs base
+INK = "#0b0b0b"
+INK2 = "#52514e"
+
+PANELS = [
+    ("TTT (s)", "Total travel time (s)"),
+    ("Avg delay (s/veh)", "Avg delay (s/veh)"),
+    ("Spillback (s)", "Spillback time (s)"),
+    ("Merge speed (m/s)", "Merge speed (m/s)"),
+    ("CO2 (mg)", "Total CO2 (mg)"),
+    ("Throughput (veh)", "Throughput (veh)"),
+]
+
+SHORT = {
+    "AlwaysGreenBaseline": "No control",
+    "FixedCycleBaseline": "FixedCycle",
+    "AlineaDsBaseline": "ALINEA",
+    "PiAlineaDsBaseline": "PI-ALINEA",
+    "DQNAgent": "DQN hybrid",
+    "DQNAgentNStep3": "DQN n-step 3",
+    "DQNAgentPer": "DQN + PER",
+    "DQNAgentMacroLane": "DQN macro-lane",
+    "DQNAgentMacroNoLane": "DQN macro-no-lane",
+}
+
+
+def _compact(v, _pos, label=False):
+    """Tick/label formatter: 1.31B / 452k / 33.5."""
+    a = abs(v)
+    if a >= 1e9:
+        return f"{v / 1e9:.2f}B"
+    if a >= 1e6:
+        return f"{v / 1e6:,.0f}M"
+    if a >= 1e4:
+        return f"{v / 1e3:,.0f}k"
+    if a >= 100:
+        return f"{v:,.0f}"
+    return f"{v:.2f}" if label else f"{v:g}"
+
+
+def _style(ax):
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.spines[["left", "bottom"]].set_color(INK2)
+    ax.tick_params(colors=INK2, labelsize=8)
+    ax.xaxis.grid(True, color="#e8e7e2", linewidth=0.6)
+    ax.set_axisbelow(True)
+
+
+def strategy_comparison(table: pd.DataFrame, out: str) -> None:
+    rows = table[table["strategy"].isin(SHORT)].copy()
+    rows["label"] = rows["strategy"].map(SHORT)
+    fig, axes = plt.subplots(2, 3, figsize=(13, 6.5))
+    for ax, (col, title) in zip(axes.flat, PANELS):
+        if col not in rows:
+            ax.set_visible(False)
+            continue
+        sub = rows.dropna(subset=[col])
+        colors = [ACCENT if s.startswith("DQN") else NEUTRAL
+                  for s in sub["strategy"]]
+        y = range(len(sub))
+        ax.barh(y, sub[col], color=colors, height=0.62)
+        ax.set_yticks(list(y), sub["label"], fontsize=8, color=INK)
+        ax.invert_yaxis()
+        ax.set_title(title, fontsize=9.5, color=INK, loc="left")
+        _style(ax)
+        hi = sub[col].max()
+        ax.set_xlim(0.0, hi * 1.18)   # zero-based bars, room for labels
+        ax.xaxis.set_major_formatter(matplotlib.ticker.FuncFormatter(_compact))
+        ax.xaxis.set_major_locator(matplotlib.ticker.MaxNLocator(5))
+        for yi, v in zip(y, sub[col]):
+            ax.text(v, yi, " " + _compact(v, None, label=True),
+                    va="center", fontsize=7, color=INK2)
+    fig.suptitle("Ramp-metering strategies, seeded evaluation means "
+                 "(native backend)", fontsize=11, color=INK, x=0.01,
+                 ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.96))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
+def paired_differences(ptable: pd.DataFrame, out: str,
+                       base_label: str = "FixedCycle") -> None:
+    rows = ptable[ptable["strategy"].isin(SHORT)].copy()
+    rows["label"] = rows["strategy"].map(SHORT)
+    panels = [("dTTT", "Paired ΔTTT (s) vs " + base_label),
+              ("dDelay", "Paired Δdelay (s/veh) vs " + base_label)]
+    fig, axes = plt.subplots(1, 2, figsize=(11, 0.55 * len(rows) + 1.6))
+    for ax, (key, title) in zip(axes, panels):
+        sub = rows.sort_values(f"{key} mean")
+        y = range(len(sub))
+        for yi, (_, r) in zip(y, sub.iterrows()):
+            m, ci = r[f"{key} mean"], r[f"{key} ±95%"]
+            c = BETTER if m < 0 else WORSE
+            ax.plot([m - ci, m + ci], [yi, yi], color=c, lw=2,
+                    solid_capstyle="round")
+            ax.plot(m, yi, "o", color=c, ms=6)
+        ax.axvline(0, color=INK2, lw=0.8)
+        ax.set_yticks(list(y), sub["label"], fontsize=8, color=INK)
+        ax.set_title(title, fontsize=9.5, color=INK, loc="left")
+        if (sub[f"{key} mean"].abs().max() or 0) > 0:
+            ax.set_xscale("symlog", linthresh=max(
+                1.0, sub[f"{key} ±95%"].median()))
+        _style(ax)
+    fig.suptitle("Per-seed paired differences (negative = better than "
+                 + base_label + "; whiskers = 95% CI)", fontsize=11,
+                 color=INK, x=0.01, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.93))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
+def main(results_dir: str = "evaluation/results",
+         out_dir: str = "evaluation/results/plots") -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    sys.stdout, hold = open(os.devnull, "w"), sys.stdout
+    try:
+        table = summarize(results_dir)
+        ptable = paired(results_dir)
+    finally:
+        sys.stdout.close()
+        sys.stdout = hold
+    strategy_comparison(table, os.path.join(out_dir, "strategy_comparison.png"))
+    paired_differences(ptable, os.path.join(out_dir, "paired_differences.png"))
+    print(f"wrote {out_dir}/strategy_comparison.png, paired_differences.png")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
