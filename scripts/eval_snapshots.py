@@ -1,0 +1,68 @@
+"""Evaluate every step-tagged snapshot pack from a long training run.
+
+DeviceTrainer writes ``<Algo>_lr<lr>_step<N>k_model.pack`` snapshots every
+SNAPSHOT_EVERY env steps (sim/train_on_device.py); this sweeps them (plus
+the final pack) through the seeded eval harness and prints a
+TTT/delay-vs-training-step table so the shipped checkpoint is the best
+one, not just the last one.
+
+Usage:
+  python scripts/eval_snapshots.py save/r2_long/ [-n 20] [--obs-variant hybrid]
+"""
+
+import argparse
+import glob
+import os
+import re
+import subprocess
+import sys
+
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("save_dir")
+    ap.add_argument("-n", type=int, default=20)
+    ap.add_argument("--master-seed", type=int, default=42)
+    ap.add_argument("--obs-variant", default="hybrid")
+    args = ap.parse_args()
+
+    packs = sorted(glob.glob(os.path.join(args.save_dir, "*_model.pack")))
+    def step_of(p):
+        m = re.search(r"_step(\d+)k_model\.pack$", p)
+        return int(m.group(1)) * 1000 if m else float("inf")  # final last
+    packs.sort(key=step_of)
+
+    rows = []
+    for pack in packs:
+        tag = f"Snap{step_of(pack) // 1000}k" if step_of(pack) != float("inf") \
+            else "SnapFinal"
+        cmd = [sys.executable, "evaluate.py", "-s", "DQNAgent",
+               "-n", str(args.n), "--master-seed", str(args.master_seed),
+               "--backend", "native", "--obs-variant", args.obs_variant,
+               "-d", pack, "--tag", tag,
+               "-o", "/tmp/snapshot_eval"]
+        env = {**os.environ, "JAX_PLATFORMS": ""}
+        subprocess.run(cmd, cwd=REPO, env=env, check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        df = pd.read_csv(f"/tmp/snapshot_eval/results_DQNAgent{tag}.csv")
+        rows.append({
+            "pack": os.path.basename(pack),
+            "steps": step_of(pack),
+            "TTT": df["total_travel_time"].mean(),
+            "delay": df["avg_time_loss"].mean(),
+            "throughput": df["total_throughput"].mean(),
+        })
+        print(f"{rows[-1]['pack']}: TTT {rows[-1]['TTT']:,.0f} "
+              f"delay {rows[-1]['delay']:.2f} "
+              f"thr {rows[-1]['throughput']:,.0f}", flush=True)
+    best = min(rows, key=lambda r: r["delay"])
+    print("\nbest by delay:", best["pack"])
+    pd.DataFrame(rows).to_csv("/tmp/snapshot_eval/summary.csv", index=False)
+
+
+if __name__ == "__main__":
+    main()
