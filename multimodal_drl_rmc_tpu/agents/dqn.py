@@ -86,7 +86,13 @@ def make_learner(cfg: Config) -> DQNLearner:
     apply_fn = lambda params, x: net.apply(params, x)
     greedy = greedy_fn(net)
 
-    tx = optax.adam(hp.lr, b1=0.9, b2=0.999, eps=1e-8)
+    if hp.lr_schedule == "cosine":
+        decay_steps = hp.lr_decay_steps or hp.max_total_steps
+        lr = optax.cosine_decay_schedule(
+            hp.lr, decay_steps, alpha=hp.lr_end / hp.lr)
+    else:
+        lr = hp.lr
+    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     obs_dtype = jnp.dtype(hp.obs_dtype)
     gamma_n = hp.gamma ** hp.n_step
 

@@ -187,6 +187,13 @@ class HyperParams:
     # n-step returns (TPU build extension; 1 == reference behavior)
     n_step: int = 1
 
+    # Learning-rate schedule (TPU build extension; "const" == reference).
+    # "cosine" decays lr -> lr_end over lr_decay_steps LEARNER updates
+    # (0 = max_total_steps, which equals updates at replay-ratio 1).
+    lr_schedule: str = "const"
+    lr_end: float = 1e-6
+    lr_decay_steps: int = 0
+
     # TPU-specific knobs
     obs_dtype: str = "float32"     # replay storage dtype for observations
     learner_devices: int = 1       # data-parallel learner shards

@@ -46,7 +46,8 @@ def build_config(args) -> Config:
         save_dir=args.save_dir, log_dir=args.log_dir, load=args.load,
         repeat=args.repeat, max_episode_steps=args.max_episode_steps,
         max_total_steps=args.max_total_steps, algo=args.algo,
-        n_step=args.n_step,
+        n_step=args.n_step, lr_schedule=args.lr_schedule,
+        lr_end=args.lr_end, lr_decay_steps=args.lr_decay_steps,
     )
     return Config(env=env, hp=hp, net=network_spec_for_variant(args.obs_variant))
 
@@ -250,6 +251,12 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
     parser.add_argument("-replay_ratio", type=float, default=1.0,
                         help="learner updates per env transition "
                              "(host path rounds up to an int per vec step)")
+    parser.add_argument("-lr_schedule", type=str, default=hp.lr_schedule,
+                        choices=("const", "cosine"),
+                        help="cosine decays lr over lr_decay_steps learner "
+                             "updates (0 = max_total_steps)")
+    parser.add_argument("-lr_end", type=float, default=hp.lr_end)
+    parser.add_argument("-lr_decay_steps", type=int, default=hp.lr_decay_steps)
     parser.add_argument("-n_step", type=int, default=1,
                         help="n-step returns (1 = reference behavior)")
     parser.add_argument("-threaded", type=str2bool, default=True)

@@ -130,3 +130,31 @@ def test_per_priorities_change_after_training():
     t0 = float(buffer.tree.total)
     state, buffer, _ = learner.train_step(state, buffer, jax.random.PRNGKey(1))
     assert float(buffer.tree.total) != t0
+
+
+def test_cosine_lr_schedule_decays_updates():
+    """lr_schedule='cosine' with lr_end=0 over 2 updates: by the 3rd train
+    step the learning rate has decayed to ~0, so parameters stop moving
+    (const-lr control keeps moving)."""
+    import jax.tree_util as jtu
+
+    def run(schedule):
+        cfg = tiny_config("DQNAgent", lr_schedule=schedule, lr_end=0.0,
+                          lr_decay_steps=2, max_total_steps=8)
+        ln = make_learner(cfg)
+        rng = jax.random.PRNGKey(0)
+        state = ln.init_state(rng)
+        buf = ln.insert(ln.init_buffer(), synthetic_bandit_batch(rng))
+        deltas = []
+        for i in range(4):
+            prev = jtu.tree_map(jnp.copy, state.params)
+            state, buf, _ = ln.train_step(state, buf, jax.random.fold_in(rng, i))
+            deltas.append(sum(float(jnp.abs(a - b).sum()) for a, b in
+                              zip(jtu.tree_leaves(state.params),
+                                  jtu.tree_leaves(prev))))
+        return deltas
+
+    cos = run("cosine")
+    const = run("const")
+    assert cos[0] > 0 and const[3] > 1e-6
+    assert cos[3] < 1e-3 * cos[0]  # decayed to ~zero by step 4
