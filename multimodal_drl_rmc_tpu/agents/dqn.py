@@ -31,7 +31,14 @@ import optax
 from ..config import Config
 from ..models.networks import build_network, greedy_fn, init_params
 from ..ops import replay
-from ..ops.losses import Batch, beta_schedule, dqn_loss, epsilon_schedule, polyak_update
+from ..ops.losses import (
+    Batch,
+    beta_schedule,
+    c51_loss,
+    dqn_loss,
+    epsilon_schedule,
+    polyak_update,
+)
 
 
 class TrainState(NamedTuple):
@@ -49,11 +56,14 @@ class Metrics(NamedTuple):
 
 
 ALGO_FLAGS = {
-    # algo name (reference agent.py:275-321) -> (double, dueling, per)
-    "DQNAgent": (False, False, False),
-    "DoubleDQNAgent": (True, False, False),
-    "DuelingDoubleDQNAgent": (True, True, False),
-    "PerDuelingDoubleDQNAgent": (True, True, True),
+    # algo name (reference agent.py:275-321) -> (double, dueling, per, dist)
+    "DQNAgent": (False, False, False, False),
+    "DoubleDQNAgent": (True, False, False, False),
+    "DuelingDoubleDQNAgent": (True, True, False, False),
+    "PerDuelingDoubleDQNAgent": (True, True, True, False),
+    # TPU-build extension: C51 categorical head over the full stack
+    # (double + dueling + PER; n-step composes via hp.n_step).
+    "C51DuelingDQNAgent": (True, True, True, True),
 }
 
 
@@ -75,10 +85,12 @@ class DQNLearner(NamedTuple):
 
 def make_learner(cfg: Config) -> DQNLearner:
     hp = cfg.hp
-    double, dueling, per = ALGO_FLAGS[hp.algo]
+    double, dueling, per, dist = ALGO_FLAGS[hp.algo]
     spec = cfg.net
-    if spec.dueling != dueling:
-        spec = type(spec)(**{**spec.__dict__, "dueling": dueling})
+    want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
+    if spec.dueling != dueling or spec.n_atoms != want_atoms:
+        spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
+                             "n_atoms": want_atoms})
 
     n_actions = cfg.env.n_actions
     obs_size = cfg.env.obs_size
@@ -140,11 +152,21 @@ def make_learner(cfg: Config) -> DQNLearner:
             batch = replay.sample_uniform(buffer, rng, hp.batch_size)
             is_w = None
 
-        def loss_fn(params):
-            return dqn_loss(
-                apply_fn, params, state.target_params, batch, gamma_n,
-                double=double, is_weights=is_w,
-            )
+        if dist:
+            support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
+            logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
+
+            def loss_fn(params):
+                return c51_loss(
+                    logits_fn, params, state.target_params, batch, gamma_n,
+                    support, double=double, is_weights=is_w,
+                )
+        else:
+            def loss_fn(params):
+                return dqn_loss(
+                    apply_fn, params, state.target_params, batch, gamma_n,
+                    double=double, is_weights=is_w,
+                )
 
         (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -214,6 +214,14 @@ class NetworkSpec:
                                             # 'macro with lane/dqn_config.py':60-105)
     activation: str = "elu"
     dueling: bool = True
+    # Distributional (C51) head — TPU-build extension beyond the reference's
+    # agent zoo. n_atoms == 1 keeps the scalar-Q heads; > 1 switches to
+    # categorical value distributions on [v_min, v_max] (Bellemare et al.
+    # 2017). The [B, A, atoms] logit tensor is MXU-friendly: one dense head
+    # of width A*atoms instead of A.
+    n_atoms: int = 1
+    v_min: float = -50.0
+    v_max: float = 5.0
     # Parameter dtype for compute; bf16 params hurt this tiny net's stability
     # little but matmuls already run via MXU with f32 accumulation.
     dtype: str = "float32"
@@ -234,6 +242,9 @@ ALGO_NAMES = (
     "DoubleDQNAgent",
     "DuelingDoubleDQNAgent",
     "PerDuelingDoubleDQNAgent",
+    # TPU-build extension: C51 distributional head on top of the full
+    # Rainbow-lite stack (double + dueling + PER; n-step via -n_step).
+    "C51DuelingDQNAgent",
 )
 
 

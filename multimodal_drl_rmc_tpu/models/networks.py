@@ -159,7 +159,55 @@ class DuelingQNetwork(nn.Module):
         return jnp.argmax(self.advantages(x), axis=-1)
 
 
+class DistributionalQNetwork(nn.Module):
+    """C51 categorical head (TPU-build extension; Bellemare et al. 2017).
+
+    ``logits`` returns [B, A, n_atoms]; with ``spec.dueling`` the value and
+    advantage streams each emit atom logits and aggregate in logit space
+    (Rainbow-style): l = v + a - mean_a(a). ``__call__`` returns expected
+    Q-values [B, A] under softmax(logits) on the fixed support, so greedy
+    action selection and eval tooling see the familiar scalar-Q surface.
+    """
+
+    spec: NetworkSpec
+    n_actions: int
+
+    def setup(self):
+        self.trunk = _make_trunk(self.spec)
+        dt = _dtype(self.spec)
+        k = self.spec.n_atoms
+        if self.spec.dueling:
+            self.fc_val = nn.Dense(k, dtype=dt, name="fc_val")
+            self.fc_adv = nn.Dense(self.n_actions * k, dtype=dt, name="fc_adv")
+        else:
+            self.fc_out = nn.Dense(self.n_actions * k, dtype=dt, name="fc_out")
+
+    def support(self) -> jax.Array:
+        return jnp.linspace(self.spec.v_min, self.spec.v_max,
+                            self.spec.n_atoms)
+
+    def logits(self, x: jax.Array) -> jax.Array:
+        feat = self.trunk(x)
+        k = self.spec.n_atoms
+        if self.spec.dueling:
+            val = self.fc_val(feat)[:, None, :]                    # [B,1,K]
+            adv = self.fc_adv(feat).reshape(-1, self.n_actions, k)  # [B,A,K]
+            return val + adv - jnp.mean(adv, axis=1, keepdims=True)
+        return self.fc_out(feat).reshape(-1, self.n_actions, k)
+
+    def probs(self, x: jax.Array) -> jax.Array:
+        return jax.nn.softmax(self.logits(x), axis=-1)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jnp.sum(self.probs(x) * self.support(), axis=-1)
+
+    def greedy(self, x: jax.Array) -> jax.Array:
+        return jnp.argmax(self(x), axis=-1)
+
+
 def build_network(spec: NetworkSpec, n_actions: int) -> nn.Module:
+    if spec.n_atoms > 1:
+        return DistributionalQNetwork(spec, n_actions)
     return (DuelingQNetwork if spec.dueling else QNetwork)(spec, n_actions)
 
 
@@ -175,6 +223,7 @@ def greedy_fn(net: nn.Module) -> Callable:
         def fn(params, obs):
             return jnp.argmax(net.apply(params, obs, method=net.advantages), axis=-1)
     else:
+        # QNetwork and DistributionalQNetwork: __call__ is (expected) Q.
         def fn(params, obs):
             return jnp.argmax(net.apply(params, obs), axis=-1)
     return fn

@@ -101,6 +101,72 @@ def dqn_loss(
     return loss, jnp.abs(jax.lax.stop_gradient(td))
 
 
+def categorical_project(
+    probs: jax.Array, reward: jax.Array, done: jax.Array, gamma: float,
+    support: jax.Array,
+) -> jax.Array:
+    """Project the shifted distribution Tz = r + gamma*(1-d)*z back onto the
+    fixed support (C51, Bellemare et al. 2017 alg. 1) — vectorized, no
+    scatter: for each target atom j its mass splits between the two support
+    neighbors of Tz_j, computed as a dense [K_out, K_in] interpolation
+    matrix against the support (MXU-friendly batched matmul).
+
+    probs: [B, K] next-state distribution; returns [B, K] projected target.
+    """
+    k = support.shape[0]
+    v_min, v_max = support[0], support[-1]
+    dz = (v_max - v_min) / (k - 1)
+    tz = reward[:, None] + gamma * (1.0 - done[:, None]) * support[None, :]
+    tz = jnp.clip(tz, v_min, v_max)                       # [B, K]
+    # weight_ij = max(0, 1 - |tz_j - z_i| / dz): rows are output atoms.
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(tz[:, None, :] - support[None, :, None]) / dz)
+    return jnp.einsum("bij,bj->bi", w, probs)
+
+
+def c51_loss(
+    logits_fn,
+    params,
+    target_params,
+    batch: Batch,
+    gamma: float,
+    support: jax.Array,
+    *,
+    double: bool = True,
+    is_weights: jax.Array | None = None,
+):
+    """Categorical (C51) TD loss: cross-entropy between the projected target
+    distribution and the online logits at the taken actions. Returns
+    (scalar loss, per-sample CE [B]) — the CE doubles as the PER priority
+    signal (Rainbow, Hessel et al. 2018).
+    """
+    b = batch.obs.shape[0]
+    target_logits_next = jax.lax.stop_gradient(
+        logits_fn(target_params, batch.next_obs))          # [B, A, K]
+    target_probs_next = jax.nn.softmax(target_logits_next, axis=-1)
+
+    both = logits_fn(params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
+    online_logits, online_logits_next = both[:b], jax.lax.stop_gradient(both[b:])
+    if double:
+        q_next = jnp.sum(jax.nn.softmax(online_logits_next, axis=-1)
+                         * support, axis=-1)               # online selection
+    else:
+        q_next = jnp.sum(target_probs_next * support, axis=-1)
+    best = jnp.argmax(q_next, axis=-1)                     # [B]
+    probs_best = jnp.take_along_axis(
+        target_probs_next, best[:, None, None], axis=1)[:, 0, :]
+
+    target_dist = categorical_project(
+        probs_best, batch.reward, batch.done, gamma, support)
+    target_dist = jax.lax.stop_gradient(target_dist)
+
+    logits_a = jnp.take_along_axis(
+        online_logits, batch.action[:, None, None], axis=1)[:, 0, :]
+    log_p = jax.nn.log_softmax(logits_a, axis=-1)
+    ce = -jnp.sum(target_dist * log_p, axis=-1)            # [B]
+    loss = jnp.mean(is_weights * ce) if is_weights is not None else jnp.mean(ce)
+    return loss, jax.lax.stop_gradient(ce)
+
+
 def polyak_update(target_params, online_params, tau: float):
     """Soft target update (reference agent.py:105-110): t = tau*o + (1-tau)*t."""
     return jax.tree_util.tree_map(

@@ -30,7 +30,14 @@ from ..agents.dqn import ALGO_FLAGS, Metrics, TrainState
 from ..config import Config
 from ..models.networks import build_network, greedy_fn, init_params
 from ..ops import replay
-from ..ops.losses import Batch, beta_schedule, dqn_loss, epsilon_schedule, polyak_update
+from ..ops.losses import (
+    Batch,
+    beta_schedule,
+    c51_loss,
+    dqn_loss,
+    epsilon_schedule,
+    polyak_update,
+)
 
 
 class LocalFns(NamedTuple):
@@ -56,10 +63,12 @@ class LocalFns(NamedTuple):
 
 def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
     hp = cfg.hp
-    double, dueling, per = ALGO_FLAGS[hp.algo]
+    double, dueling, per, dist = ALGO_FLAGS[hp.algo]
     spec = cfg.net
-    if spec.dueling != dueling:
-        spec = type(spec)(**{**spec.__dict__, "dueling": dueling})
+    want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
+    if spec.dueling != dueling or spec.n_atoms != want_atoms:
+        spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
+                             "n_atoms": want_atoms})
 
     if hp.batch_size % ndev:
         raise ValueError(f"batch_size {hp.batch_size} not divisible by mesh size {ndev}")
@@ -116,11 +125,21 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
             batch = replay.sample_uniform(buffer, rng, local_bs)
             is_w = None
 
-        def loss_fn(params):
-            return dqn_loss(
-                apply_fn, params, state.target_params, batch, gamma_n,
-                double=double, is_weights=is_w,
-            )
+        if dist:
+            support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
+            logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
+
+            def loss_fn(params):
+                return c51_loss(
+                    logits_fn, params, state.target_params, batch, gamma_n,
+                    support, double=double, is_weights=is_w,
+                )
+        else:
+            def loss_fn(params):
+                return dqn_loss(
+                    apply_fn, params, state.target_params, batch, gamma_n,
+                    double=double, is_weights=is_w,
+                )
 
         (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, axis)

@@ -33,8 +33,10 @@ class PolicyRunner:
         algo, lr = packio.parse_pack_filename(model_path)
         spec = network_spec_for_variant(obs_variant)
         dueling = "Dueling" in algo
-        if spec.dueling != dueling:
-            spec = type(spec)(**{**spec.__dict__, "dueling": dueling})
+        n_atoms = 51 if algo.startswith("C51") else 1
+        if spec.dueling != dueling or spec.n_atoms != n_atoms:
+            spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
+                                 "n_atoms": n_atoms})
         self.cfg = (cfg or Config()).replace(net=spec)
         if self.cfg.env.obs_variant != obs_variant:
             self.cfg = self.cfg.replace(

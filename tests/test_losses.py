@@ -75,3 +75,36 @@ def test_beta_schedule():
     assert float(beta_schedule(0, 0.4, 1.0, 100.0)) == pytest.approx(0.4)
     assert float(beta_schedule(50, 0.4, 1.0, 100.0)) == pytest.approx(0.7)
     assert float(beta_schedule(200, 0.4, 1.0, 100.0)) == pytest.approx(1.0)
+
+
+# --- C51 distributional loss (TPU-build extension) -------------------------
+
+
+def test_categorical_project_identity_and_shift():
+    from multimodal_drl_rmc_tpu.ops.losses import categorical_project
+
+    support = jnp.linspace(-2.0, 2.0, 5)          # dz = 1
+    p = jnp.asarray([[0.0, 0.0, 1.0, 0.0, 0.0]])  # all mass at z=0
+    # gamma=1, r=0, not done: identity projection.
+    out = categorical_project(p, jnp.zeros(1), jnp.zeros(1), 1.0, support)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(p), atol=1e-6)
+    # r=0.5 shifts half the mass to each neighbor of 0.5.
+    out = categorical_project(p, jnp.asarray([0.5]), jnp.zeros(1), 1.0, support)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               [0.0, 0.0, 0.5, 0.5, 0.0], atol=1e-6)
+    # done: collapse to delta at r (here r=2 -> top atom), regardless of p.
+    out = categorical_project(p, jnp.asarray([2.0]), jnp.ones(1), 0.9, support)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               [0.0, 0.0, 0.0, 0.0, 1.0], atol=1e-6)
+    # clipping: r beyond v_max lands on the top atom.
+    out = categorical_project(p, jnp.asarray([7.0]), jnp.ones(1), 0.9, support)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               [0.0, 0.0, 0.0, 0.0, 1.0], atol=1e-6)
+    # mass is conserved.
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    pr = jax.nn.softmax(jax.random.normal(rng, (7, 5)), axis=-1)
+    r = jax.random.uniform(rng, (7,), minval=-3.0, maxval=3.0)
+    out = categorical_project(pr, r, jnp.zeros(7), 0.99, support)
+    np.testing.assert_allclose(np.asarray(out.sum(-1)), np.ones(7), atol=1e-5)

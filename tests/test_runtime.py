@@ -201,3 +201,31 @@ def test_device_trainer_periodic_saves_and_snapshots(tmp_path, monkeypatch):
     snaps = glob.glob(str(tmp_path / "save" / "*_step*k_model.pack"))
     # 100 iters at batch=2, saves every 32 iters -> crosses 128 env steps.
     assert snaps, "expected at least one step-tagged snapshot pack"
+
+
+def test_c51_policy_runner_roundtrip(tmp_path):
+    """C51 (distributional) extension: learner trains, pack round-trips via
+    the torch-layout codec, and PolicyRunner rebuilds the 51-atom head from
+    the filename convention."""
+    import jax
+
+    cfg = tiny_cfg(tmp_path, algo="C51DuelingDQNAgent")
+    learner = make_learner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    buf = learner.init_buffer()
+    rng = jax.random.PRNGKey(1)
+    import jax.numpy as jnp
+
+    from multimodal_drl_rmc_tpu.ops.losses import Batch
+    obs = jax.random.uniform(rng, (16, cfg.env.obs_size))
+    buf = learner.insert(buf, Batch(
+        obs=obs, action=jnp.zeros(16, jnp.int32), reward=jnp.ones(16),
+        done=jnp.ones(16), next_obs=obs))
+    state, buf, m = learner.train_step(state, buf, rng)
+    assert np.isfinite(float(m.loss))
+    cfg_net = learner.cfg.replace(net=learner.net.spec)
+    pack = checkpoint.export_pack(cfg_net, state)
+    runner = PolicyRunner(pack, backend="fake", cfg=cfg)
+    info = runner.run_episode(seed=3)
+    assert info["l"] == 5
+    runner.close()
