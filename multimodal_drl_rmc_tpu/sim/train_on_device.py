@@ -206,7 +206,10 @@ class DeviceTrainer:
     def run(self, log: bool = True) -> Carry:
         cfg = self.cfg
         carry = self.init_carry()
-        writer = MetricsWriter(cfg.hp.log_dir, checkpoint.run_name(cfg) + "_device") \
+        run = checkpoint.run_name(cfg)
+        if cfg.env.obs_variant != "hybrid":
+            run += f"_{cfg.env.obs_variant}"   # variant runs get their own
+        writer = MetricsWriter(cfg.hp.log_dir, run + "_device") \
             if log else None
 
         warm_iters = max(1, cfg.hp.min_mem // self.batch)
