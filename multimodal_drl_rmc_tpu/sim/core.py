@@ -586,6 +586,56 @@ def step_1s(state: SimState) -> SimState:
     return state
 
 
+def step_1s_batched(state: SimState, interpret: bool = False) -> SimState:
+    """One sim second for a BATCHED SimState (leading [B] on every leaf),
+    feeding the whole batch to ``fused_step_full`` as kernel blocks
+    (BT = 8 envs per grid program) instead of vmapping the single-env
+    kernel into B one-env programs. Same math/RNG stream as vmapped
+    ``step_1s`` on the Pallas path (tests/test_pallas.py asserts parity).
+    """
+    from ..ops.pallas.sim_step import fused_step_full
+
+    split = jax.vmap(jax.random.split)(state.rng)           # [B, 2, 2]
+    rng, r_con = split[:, 0], split[:, 1]
+    u_con = jax.vmap(lambda k: jax.random.uniform(k, (N_CHAINS,)))(r_con)
+    state = state._replace(rng=rng)
+
+    red = (state.phase == RED).astype(jnp.float32)          # [B]
+    rate = jax.vmap(_demand_rate_vps)(state)                # [B, C]
+    pen = state.demand[:, 3]                                # [B]
+    (pos, speed, act, conn, wait, depart, head, count, pending,
+     cnt, spd, occ, queue, bkd, arr_d, trav_d, loss_d, wait_d,
+     co2_d, nox_d, dep_d) = fused_step_full(
+        state.pos, state.speed, state.active.astype(jnp.float32),
+        state.connected.astype(jnp.float32), state.wait, state.depart_t,
+        state.head, state.count, state.pending,
+        red, state.breakdown, state.t, pen, u_con, rate,
+        substeps=SUBSTEPS, block=8, interpret=interpret,
+    )
+    mean_step_speed = jnp.where(cnt > 0, spd / jnp.maximum(cnt, 1.0), -1.0)
+    return state._replace(
+        pos=pos, speed=speed, active=act > 0.5, connected=conn > 0.5,
+        wait=wait, depart_t=depart, head=head, count=count, pending=pending,
+        t=state.t + 1.0,
+        loop_count=state.loop_count + cnt,
+        loop_speed_sum=state.loop_speed_sum + spd,
+        loop_occ_time=state.loop_occ_time + occ,
+        interval_s=state.interval_s + 1.0,
+        sum_queue=state.sum_queue + queue[:, 0],
+        loop_step_count=cnt,
+        loop_step_speed=mean_step_speed,
+        breakdown=bkd[:, 0],
+        arrived=state.arrived + arr_d,
+        travel_sum=state.travel_sum + trav_d,
+        loss_sum=state.loss_sum + loss_d,
+        wait_sum=state.wait_sum + wait_d,
+        departed=state.departed + dep_d[:, 0],
+        loaded=state.loaded + rate.sum(axis=1),
+        co2_sum=state.co2_sum + co2_d[:, 0],
+        nox_sum=state.nox_sum + nox_d[:, 0],
+    )
+
+
 def clear_cycle_accumulators(state: SimState) -> SimState:
     z = jnp.zeros(LOOP_SHAPE, jnp.float32)
     return state._replace(

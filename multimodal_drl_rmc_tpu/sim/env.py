@@ -242,6 +242,51 @@ def make_env_fns(cfg: EnvConfig):
     return reset_one, obs_one, step_one
 
 
+def make_batched_step(cfg: EnvConfig, interpret: bool = False):
+    """Whole-batch control-cycle step using the BT>1 kernel path.
+
+    Equivalent to ``jax.vmap(step_one)`` but the 1 s inner loop calls
+    ``core.step_1s_batched`` — the full batch enters ``fused_step_full``
+    as (8-env) kernel blocks instead of B separate one-env grid programs,
+    filling the VPU's 8-sublane tiles. Everything around the kernel
+    (metrics, reward, auto-reset) is the vmapped single-env code.
+    """
+    from .core import step_1s_batched
+
+    reset_one, obs_one, step_one = make_env_fns(cfg)
+    actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
+    cyc = int(cfg.cycle_seconds)
+    episode_s = cfg.scenario.episode_seconds
+
+    def step_batched(es: EnvState, actions: jax.Array):
+        green = actions_sec[jnp.clip(actions, 0, len(actions_sec) - 1)]  # [B]
+        sim = jax.vmap(clear_cycle_accumulators)(es.sim)
+
+        def body(s, i):
+            phase = jnp.where(i < green, GREEN, RED).astype(jnp.int32)
+            return step_1s_batched(s._replace(phase=phase), interpret), None
+
+        sim, _ = jax.lax.scan(body, sim, jnp.arange(cyc, dtype=jnp.float32))
+        m = jax.vmap(lambda s: cycle_metrics(s, cfg.cycle_seconds))(sim)
+        rew = jax.vmap(lambda mm: reward(mm, cfg))(m)
+        done = sim.t >= episode_s                                        # [B]
+        obs = jax.vmap(lambda s, g: observation(s, g, cfg))(sim, green)
+
+        rng_next = jax.vmap(lambda k: jax.random.fold_in(k, 1))(sim.rng)
+        fresh = jax.vmap(reset_one)(rng_next)
+        es_next = EnvState(sim, green)
+
+        def pick(a, b):
+            d = done.reshape(done.shape + (1,) * (a.ndim - 1))
+            return jnp.where(d, b, a)
+
+        es_out = jax.tree_util.tree_map(pick, es_next, fresh)
+        obs_out = jnp.where(done[:, None], jax.vmap(obs_one)(fresh), obs)
+        return es_out, (obs, obs_out, rew, done, m)
+
+    return step_batched
+
+
 class DeviceRampEnv:
     """Batched on-device env: ``reset(rng)`` / ``step(state, actions)``.
 
@@ -249,14 +294,25 @@ class DeviceRampEnv:
     ``step`` simulates ``cycle_seconds`` of traffic per env.
     """
 
-    def __init__(self, cfg: EnvConfig, batch: int):
+    def __init__(self, cfg: EnvConfig, batch: int,
+                 batched_kernel: bool | None = None):
+        """``batched_kernel`` routes the 1 s inner loop through the BT>1
+        kernel path (make_batched_step) instead of vmapping the single-env
+        step. Default: MDRLRMC_BATCHED env var (off — the BT>1 kernel is
+        parity-tested in interpret mode but Mosaic-gated on real TPU)."""
         self.cfg = cfg
         self.batch = batch
         self.actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
         reset_one, obs_one, step_one = make_env_fns(cfg)
+        if batched_kernel is None:
+            import os
+
+            batched_kernel = os.environ.get("MDRLRMC_BATCHED", "0") not in (
+                "0", "", "false")
         self._reset = jax.jit(jax.vmap(reset_one))
         self._obs = jax.jit(jax.vmap(obs_one))
-        self._step = jax.jit(jax.vmap(step_one))
+        self._step = jax.jit(make_batched_step(cfg)) if batched_kernel \
+            else jax.jit(jax.vmap(step_one))
 
     def reset(self, rng: jax.Array):
         states = self._reset(jax.random.split(rng, self.batch))

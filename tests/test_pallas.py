@@ -184,3 +184,53 @@ def test_fused_step_full_over_a_cycle(traffic_states):
                                np.asarray(got.breakdown), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ref.head), np.asarray(got.head))
     np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(got.count))
+
+
+def test_step_1s_batched_matches_vmapped(traffic_states):
+    """core.step_1s_batched (whole batch as BT>1 kernel blocks) ==
+    vmap(step_1s) on the XLA path — same RNG stream, same fields."""
+    sims = traffic_states
+    ref = jax.jit(jax.vmap(core.step_1s))(sims)
+    got = jax.jit(lambda s: core.step_1s_batched(s, interpret=True))(sims)
+
+    act = np.asarray(ref.active)
+    for name in core.SimState._fields:
+        r = np.asarray(getattr(ref, name))
+        g = np.asarray(getattr(got, name))
+        if name == "rng":
+            np.testing.assert_array_equal(r, g)
+            continue
+        if r.shape[-1:] == (core.SLOTS,):
+            either = act | np.asarray(got.active)
+            r = np.where(either, r, 0.0)
+            g = np.where(either, g, 0.0)
+        np.testing.assert_allclose(
+            r.astype(np.float64), g.astype(np.float64),
+            rtol=1e-5, atol=1e-3, err_msg=f"field {name}")
+
+
+def test_batched_env_step_matches_vmapped():
+    """Env-level: make_batched_step == vmap(step_one) over a full control
+    cycle (obs, reward, done, auto-reset)."""
+    from multimodal_drl_rmc_tpu.sim.env import (
+        DeviceRampEnv, make_batched_step,
+    )
+
+    cfg = EnvConfig(scenario=ScenarioConfig(episode_seconds=200.0))
+    env = DeviceRampEnv(cfg, 2)
+    states, obs0 = env.reset(jax.random.PRNGKey(3))
+    actions = jnp.asarray([1, 6])
+
+    ref_states, (ref_obs, ref_next, ref_rew, ref_done, _) = env.step(
+        states, actions)
+    step_b = jax.jit(make_batched_step(cfg, interpret=True))
+    got_states, (got_obs, got_next, got_rew, got_done, _) = step_b(
+        states, actions)
+
+    np.testing.assert_allclose(np.asarray(ref_obs), np.asarray(got_obs),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref_rew), np.asarray(got_rew),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ref_done), np.asarray(got_done))
+    np.testing.assert_array_equal(np.asarray(ref_states.sim.rng),
+                                  np.asarray(got_states.sim.rng))
