@@ -45,7 +45,10 @@ def main() -> None:
                "--backend", "native", "--obs-variant", args.obs_variant,
                "-d", pack, "--tag", tag,
                "-o", "/tmp/snapshot_eval"]
-        env = {**os.environ, "JAX_PLATFORMS": ""}
+        # Force CPU: drop the axon sitecustomize from PYTHONPATH (with it
+        # present, even empty JAX_PLATFORMS selects the TPU and the eval
+        # would block behind a concurrent training job).
+        env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": ""}
         subprocess.run(cmd, cwd=REPO, env=env, check=True,
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         df = pd.read_csv(f"/tmp/snapshot_eval/results_DQNAgent{tag}.csv")
