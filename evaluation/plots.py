@@ -51,6 +51,7 @@ SHORT = {
     "AlineaDsBaseline": "ALINEA",
     "PiAlineaDsBaseline": "PI-ALINEA",
     "DQNAgent": "DQN hybrid",
+    "DQNAgentLong": "DQN PER n-step 3, 6.3M",
     "DQNAgentNStep3": "DQN n-step 3",
     "DQNAgentPer": "DQN + PER",
     "DQNAgentMacroLane": "DQN macro-lane",
