@@ -72,6 +72,17 @@ _SEG_SPEED = np.asarray(GEO.seg_speed, np.float32)
 _STOP = np.where(np.isfinite(GEO.stop_line), GEO.stop_line, BIG)
 
 
+def _sum_bc(x):
+    """[BT, C, N] -> [BT, 1] total. Mosaic lowers a different reduction
+    shape per mode: the fused ``sum(axis=(1, 2), keepdims=True)[:, :, 0]``
+    form CHECK-crashes layout inference at BT>1, while the two-stage
+    single-axis forms hit relayout / implicit-dimension errors at
+    BT=1-under-vmap. The block shape is static, so branch."""
+    if x.shape[0] == 1:
+        return jnp.sum(x, axis=(1, 2), keepdims=True)[:, :, 0]
+    return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
+
+
 def _suffix_min_pair(p, s):
     """Reverse cumulative min-by-key along the last axis of [BT, BINS]."""
     k = 1
@@ -292,17 +303,27 @@ def _detector_block(p0, p1, speed, act, loop_kc):
     active = act > 0.5
     dur_unit = jnp.where(
         active, jnp.minimum(1.0, VEH_LENGTH_M / jnp.maximum(speed, 0.18)), 0.0)
-    counts, speeds, occs = [], [], []
+    # Iota-masked select writes rather than jnp.stack(axis=2): stacking
+    # along a NEW minor axis is fragile under Mosaic layout inference at
+    # BT>1, while [BT,C]->[BT,C,1] f32 broadcasts lower fine.
+    shape = (p0.shape[0], p0.shape[1], k_slots)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    cnt = jnp.zeros(shape, jnp.float32)
+    spd = jnp.zeros(shape, jnp.float32)
+    occ = jnp.zeros(shape, jnp.float32)
     for k in range(k_slots):
         x = loop_kc[k:k + 1, :][:, :, None]          # [1, C, 1]
         crossed = active & (p0 < x) & (p1 >= x)
-        counts.append(jnp.sum(jnp.where(crossed, 1.0, 0.0), axis=2))
-        speeds.append(jnp.sum(jnp.where(crossed, speed, 0.0), axis=2))
+        c_k = jnp.sum(jnp.where(crossed, 1.0, 0.0), axis=2)      # [BT, C]
+        s_k = jnp.sum(jnp.where(crossed, speed, 0.0), axis=2)
         covering = (p1 >= x) & (p0 <= x + VEH_LENGTH_M)
-        occs.append(jnp.minimum(
-            jnp.sum(jnp.where(covering, dur_unit, 0.0), axis=2), 1.0))
-    return (jnp.stack(counts, axis=2), jnp.stack(speeds, axis=2),
-            jnp.stack(occs, axis=2))
+        o_k = jnp.minimum(
+            jnp.sum(jnp.where(covering, dur_unit, 0.0), axis=2), 1.0)
+        sel = kcol == k
+        cnt = jnp.where(sel, c_k[:, :, None], cnt)
+        spd = jnp.where(sel, s_k[:, :, None], spd)
+        occ = jnp.where(sel, o_k[:, :, None], occ)
+    return cnt, spd, occ
 
 
 def _step_kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
@@ -331,8 +352,7 @@ def _step_kernel(pos_ref, speed_ref, act_ref, wait_ref, head_ref, red_ref,
     ramp_end = float(GEO.ramp_edge_end)
     chain_row = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 1)
     on_ramp = (act > 0.5) & (chain_row == 3) & (pos <= ramp_end)
-    queue_out[:] = jnp.sum(jnp.where(on_ramp, 1.0, 0.0), axis=(1, 2),
-                           keepdims=True)[:, :, 0]
+    queue_out[:] = _sum_bc(jnp.where(on_ramp, 1.0, 0.0))
     pos_out[:] = pos
     speed_out[:] = speed
     wait_out[:] = wait
@@ -459,8 +479,7 @@ def _full_kernel(pos_ref, speed_ref, act_ref, conn_ref, wait_ref, depart_ref,
     cnt, spd, occ = _detector_block(p0, pos, speed, act, loop_ref[:])
     chain_row = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 1)
     on_ramp = (act > 0.5) & (chain_row == 3) & (pos <= RAMP_EDGE_END)
-    queue_out[:] = jnp.sum(jnp.where(on_ramp, 1.0, 0.0), axis=(1, 2),
-                           keepdims=True)[:, :, 0]
+    queue_out[:] = _sum_bc(jnp.where(on_ramp, 1.0, 0.0))
 
     # --- emissions (wheel-power model over the 1 s step) ---
     a = speed - speed0
@@ -468,19 +487,16 @@ def _full_kernel(pos_ref, speed_ref, act_ref, conn_ref, wait_ref, depart_ref,
         + VEH_MASS_KG * speed * a
     p_wheel = jnp.where(p_wheel > 0, p_wheel, 0.0)
     active = act > 0.5
-    co2_out[:] = jnp.sum(
-        jnp.where(active, CO2_IDLE_MGPS + CO2_PER_WHEEL_J_MG * p_wheel, 0.0),
-        axis=(1, 2), keepdims=True)[:, :, 0]
-    nox_out[:] = jnp.sum(
-        jnp.where(active, NOX_IDLE_MGPS + NOX_PER_WHEEL_J_MG * p_wheel, 0.0),
-        axis=(1, 2), keepdims=True)[:, :, 0]
+    co2_out[:] = _sum_bc(
+        jnp.where(active, CO2_IDLE_MGPS + CO2_PER_WHEEL_J_MG * p_wheel, 0.0))
+    nox_out[:] = _sum_bc(
+        jnp.where(active, NOX_IDLE_MGPS + NOX_PER_WHEEL_J_MG * p_wheel, 0.0))
 
     # --- merge-breakdown hysteresis (post-physics zone count) ---
     fr_lo = MERGE_LO - FRICTION_WINDOW_M
     pos_common = jnp.where(chain_row == 3, pos + MERGE_OFF, pos)
     in_window = active & (pos_common >= fr_lo) & (chain_row != 4)
-    n_zone = jnp.sum(jnp.where(in_window, 1.0, 0.0), axis=(1, 2),
-                     keepdims=True)[:, :, 0]                 # [BT, 1]
+    n_zone = _sum_bc(jnp.where(in_window, 1.0, 0.0))         # [BT, 1]
     b = jnp.where(n_zone > BREAKDOWN_N_HI,
                   jnp.minimum(b_in + BREAKDOWN_RATE_UP, 1.0), b_in)
     b = jnp.where(n_zone < BREAKDOWN_N_LO,

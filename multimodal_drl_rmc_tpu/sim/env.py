@@ -298,8 +298,10 @@ class DeviceRampEnv:
                  batched_kernel: bool | None = None):
         """``batched_kernel`` routes the 1 s inner loop through the BT>1
         kernel path (make_batched_step) instead of vmapping the single-env
-        step. Default: MDRLRMC_BATCHED env var (off — the BT>1 kernel is
-        parity-tested in interpret mode but Mosaic-gated on real TPU)."""
+        step: 99.4 -> 75.7 ms per 40 s cycle at B=256 on v5e (the batch
+        enters the kernel as 8-env blocks, filling the 8-sublane tiles).
+        Default: on when the Pallas path is active (real TPU), off on CPU;
+        MDRLRMC_BATCHED=0/1 overrides."""
         self.cfg = cfg
         self.batch = batch
         self.actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
@@ -307,8 +309,13 @@ class DeviceRampEnv:
         if batched_kernel is None:
             import os
 
-            batched_kernel = os.environ.get("MDRLRMC_BATCHED", "0") not in (
-                "0", "", "false")
+            env_v = os.environ.get("MDRLRMC_BATCHED")
+            if env_v is not None:
+                batched_kernel = env_v not in ("0", "", "false")
+            else:
+                from .core import use_pallas_substeps
+
+                batched_kernel = use_pallas_substeps()
         self._reset = jax.jit(jax.vmap(reset_one))
         self._obs = jax.jit(jax.vmap(obs_one))
         self._step = jax.jit(make_batched_step(cfg)) if batched_kernel \
