@@ -90,6 +90,9 @@ def strategy_comparison(table: pd.DataFrame, out: str) -> None:
             ax.set_visible(False)
             continue
         sub = rows.dropna(subset=[col])
+        if sub.empty:
+            ax.set_visible(False)
+            continue
         colors = [ACCENT if s.startswith("DQN") else NEUTRAL
                   for s in sub["strategy"]]
         y = range(len(sub))

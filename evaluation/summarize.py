@@ -10,6 +10,7 @@ stats cancel the demand variance that dominates raw episode spread.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pandas as pd
@@ -93,11 +94,15 @@ def paired(results_dir: str = "evaluation/results",
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     do_paired = "--paired" in args
+    base = "FixedCycleBaseline"
     if do_paired:
         i = args.index("--paired")
         args.pop(i)
-        base = args.pop(i) if i < len(args) and not args[i].startswith("-") \
-            else "FixedCycleBaseline"
+        # A value right after --paired is the base STRATEGY only if it looks
+        # like one (a results_<name>.csv stem, not a directory path).
+        if i < len(args) and not args[i].startswith("-") \
+                and "/" not in args[i] and not os.path.isdir(args[i]):
+            base = args.pop(i)
     main(*args)
     if do_paired:
         paired(*args, base=base)

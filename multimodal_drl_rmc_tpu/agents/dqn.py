@@ -83,14 +83,52 @@ class DQNLearner(NamedTuple):
     apply_fn: Any
 
 
-def make_learner(cfg: Config) -> DQNLearner:
-    hp = cfg.hp
-    double, dueling, per, dist = ALGO_FLAGS[hp.algo]
+def spec_for_algo(cfg: Config):
+    """Reconcile cfg.net with the algo's flags (dueling head, C51 atoms).
+    Single definition shared by the single-chip and DP learner builders."""
+    double, dueling, per, dist = ALGO_FLAGS[cfg.hp.algo]
     spec = cfg.net
     want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
     if spec.dueling != dueling or spec.n_atoms != want_atoms:
         spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
                              "n_atoms": want_atoms})
+    return spec, (double, dueling, per, dist)
+
+
+def make_tx(hp) -> optax.GradientTransformation:
+    """The Adam optimizer incl. the optional cosine lr schedule — shared by
+    both learner builders so they cannot drift."""
+    if hp.lr_schedule == "cosine":
+        decay_steps = hp.lr_decay_steps or hp.max_total_steps
+        lr = optax.cosine_decay_schedule(
+            hp.lr, decay_steps, alpha=hp.lr_end / hp.lr)
+    else:
+        lr = hp.lr
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
+                 dist: bool):
+    """(params, target_params, batch, is_weights) -> (loss, |signal|[B]).
+    Selects the scalar TD loss or the C51 categorical loss; shared by the
+    single-chip and DP learner builders."""
+    if dist:
+        support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
+        logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
+
+        def loss(params, target_params, batch, is_w):
+            return c51_loss(logits_fn, params, target_params, batch,
+                            gamma_n, support, double=double, is_weights=is_w)
+    else:
+        def loss(params, target_params, batch, is_w):
+            return dqn_loss(apply_fn, params, target_params, batch,
+                            gamma_n, double=double, is_weights=is_w)
+    return loss
+
+
+def make_learner(cfg: Config) -> DQNLearner:
+    hp = cfg.hp
+    spec, (double, dueling, per, dist) = spec_for_algo(cfg)
 
     n_actions = cfg.env.n_actions
     obs_size = cfg.env.obs_size
@@ -98,15 +136,10 @@ def make_learner(cfg: Config) -> DQNLearner:
     apply_fn = lambda params, x: net.apply(params, x)
     greedy = greedy_fn(net)
 
-    if hp.lr_schedule == "cosine":
-        decay_steps = hp.lr_decay_steps or hp.max_total_steps
-        lr = optax.cosine_decay_schedule(
-            hp.lr, decay_steps, alpha=hp.lr_end / hp.lr)
-    else:
-        lr = hp.lr
-    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    tx = make_tx(hp)
     obs_dtype = jnp.dtype(hp.obs_dtype)
     gamma_n = hp.gamma ** hp.n_step
+    loss_of = make_loss_fn(net, apply_fn, spec, gamma_n, double, dist)
 
     def init_state(rng: jax.Array) -> TrainState:
         params = init_params(net, obs_size, rng)
@@ -152,21 +185,8 @@ def make_learner(cfg: Config) -> DQNLearner:
             batch = replay.sample_uniform(buffer, rng, hp.batch_size)
             is_w = None
 
-        if dist:
-            support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
-            logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
-
-            def loss_fn(params):
-                return c51_loss(
-                    logits_fn, params, state.target_params, batch, gamma_n,
-                    support, double=double, is_weights=is_w,
-                )
-        else:
-            def loss_fn(params):
-                return dqn_loss(
-                    apply_fn, params, state.target_params, batch, gamma_n,
-                    double=double, is_weights=is_w,
-                )
+        def loss_fn(params):
+            return loss_of(params, state.target_params, batch, is_w)
 
         (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

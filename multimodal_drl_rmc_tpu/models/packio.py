@@ -165,6 +165,18 @@ def load_pack(path, spec: NetworkSpec, dueling: bool | None = None):
     return params, meta
 
 
+def peek_head_width(path: str) -> int:
+    """Output width of the action head (fc_adv / fc_out) in a .pack —
+    torch layout weights are [out, in]. Lets callers infer spec knobs the
+    filename convention doesn't carry (e.g. C51 atom count)."""
+    with open(path, "rb") as f:
+        params = unpack_bytes(f.read())["parameters"]
+    for key in ("fc_adv.weight", "fc_out.weight"):
+        if key in params:
+            return int(params[key].shape[0])
+    raise KeyError(f"no action head found in {path}")
+
+
 def parse_pack_filename(path: str):
     """'<Algo>_lr<lr>_model.pack' -> (algo, lr). The reference encodes the
     algorithm and learning rate in the filename and parses them back at

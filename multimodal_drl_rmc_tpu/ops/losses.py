@@ -144,12 +144,16 @@ def c51_loss(
         logits_fn(target_params, batch.next_obs))          # [B, A, K]
     target_probs_next = jax.nn.softmax(target_logits_next, axis=-1)
 
-    both = logits_fn(params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
-    online_logits, online_logits_next = both[:b], jax.lax.stop_gradient(both[b:])
     if double:
+        # One online forward over [s; s'] (same fusion as dqn_loss).
+        both = logits_fn(
+            params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
+        online_logits = both[:b]
+        online_logits_next = jax.lax.stop_gradient(both[b:])
         q_next = jnp.sum(jax.nn.softmax(online_logits_next, axis=-1)
                          * support, axis=-1)               # online selection
     else:
+        online_logits = logits_fn(params, batch.obs)
         q_next = jnp.sum(target_probs_next * support, axis=-1)
     best = jnp.argmax(q_next, axis=-1)                     # [B]
     probs_best = jnp.take_along_axis(

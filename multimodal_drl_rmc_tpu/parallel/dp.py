@@ -26,18 +26,17 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..agents.dqn import ALGO_FLAGS, Metrics, TrainState
+from ..agents.dqn import (
+    Metrics,
+    TrainState,
+    make_loss_fn,
+    make_tx,
+    spec_for_algo,
+)
 from ..config import Config
 from ..models.networks import build_network, greedy_fn, init_params
 from ..ops import replay
-from ..ops.losses import (
-    Batch,
-    beta_schedule,
-    c51_loss,
-    dqn_loss,
-    epsilon_schedule,
-    polyak_update,
-)
+from ..ops.losses import Batch, beta_schedule, epsilon_schedule, polyak_update
 
 
 class LocalFns(NamedTuple):
@@ -63,12 +62,7 @@ class LocalFns(NamedTuple):
 
 def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
     hp = cfg.hp
-    double, dueling, per, dist = ALGO_FLAGS[hp.algo]
-    spec = cfg.net
-    want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
-    if spec.dueling != dueling or spec.n_atoms != want_atoms:
-        spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
-                             "n_atoms": want_atoms})
+    spec, (double, dueling, per, dist) = spec_for_algo(cfg)
 
     if hp.batch_size % ndev:
         raise ValueError(f"batch_size {hp.batch_size} not divisible by mesh size {ndev}")
@@ -82,9 +76,10 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
     net = build_network(spec, n_actions)
     apply_fn = lambda params, x: net.apply(params, x)
     greedy = greedy_fn(net)
-    tx = optax.adam(hp.lr, b1=0.9, b2=0.999, eps=1e-8)
+    tx = make_tx(hp)
     obs_dtype = jnp.dtype(hp.obs_dtype)
     gamma_n = hp.gamma ** hp.n_step
+    loss_of = make_loss_fn(net, apply_fn, spec, gamma_n, double, dist)
 
     def _buffer_specs():
         """PartitionSpecs for the replay pytree: arrays shard on capacity,
@@ -125,21 +120,8 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
             batch = replay.sample_uniform(buffer, rng, local_bs)
             is_w = None
 
-        if dist:
-            support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
-            logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
-
-            def loss_fn(params):
-                return c51_loss(
-                    logits_fn, params, state.target_params, batch, gamma_n,
-                    support, double=double, is_weights=is_w,
-                )
-        else:
-            def loss_fn(params):
-                return dqn_loss(
-                    apply_fn, params, state.target_params, batch, gamma_n,
-                    double=double, is_weights=is_w,
-                )
+        def loss_fn(params):
+            return loss_of(params, state.target_params, batch, is_w)
 
         (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, axis)

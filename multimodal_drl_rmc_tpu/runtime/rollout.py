@@ -31,13 +31,19 @@ class PolicyRunner:
                  gui: bool = False, max_steps: int = 0,
                  log: bool = False, log_step: int = 0, log_dir: str = "./logs/test/"):
         algo, lr = packio.parse_pack_filename(model_path)
+        base_cfg = cfg or Config()
         spec = network_spec_for_variant(obs_variant)
         dueling = "Dueling" in algo
-        n_atoms = 51 if algo.startswith("C51") else 1
+        n_atoms = 1
+        if algo.startswith("C51"):
+            # Atom count is a spec knob, not in the filename — infer it from
+            # the checkpoint's advantage-head width.
+            n_atoms = packio.peek_head_width(model_path) \
+                // base_cfg.env.n_actions
         if spec.dueling != dueling or spec.n_atoms != n_atoms:
             spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
                                  "n_atoms": n_atoms})
-        self.cfg = (cfg or Config()).replace(net=spec)
+        self.cfg = base_cfg.replace(net=spec)
         if self.cfg.env.obs_variant != obs_variant:
             self.cfg = self.cfg.replace(
                 env=EnvConfig(**{**self.cfg.env.__dict__, "obs_variant": obs_variant})

@@ -31,6 +31,9 @@ def main() -> None:
     args = ap.parse_args()
 
     packs = sorted(glob.glob(os.path.join(args.save_dir, "*_model.pack")))
+    if not packs:
+        raise SystemExit(f"no *_model.pack files under {args.save_dir}")
+
     def step_of(p):
         m = re.search(r"_step(\d+)k_model\.pack$", p)
         return int(m.group(1)) * 1000 if m else float("inf")  # final last
@@ -49,8 +52,12 @@ def main() -> None:
         # present, even empty JAX_PLATFORMS selects the TPU and the eval
         # would block behind a concurrent training job).
         env = {**os.environ, "JAX_PLATFORMS": "", "PYTHONPATH": ""}
-        subprocess.run(cmd, cwd=REPO, env=env, check=True,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        proc = subprocess.run(cmd, cwd=REPO, env=env,
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"evaluate.py failed for {pack} "
+                             f"(rc={proc.returncode})")
         df = pd.read_csv(f"/tmp/snapshot_eval/results_DQNAgent{tag}.csv")
         rows.append({
             "pack": os.path.basename(pack),
