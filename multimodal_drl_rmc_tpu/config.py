@@ -219,9 +219,12 @@ class NetworkSpec:
     # categorical value distributions on [v_min, v_max] (Bellemare et al.
     # 2017). The [B, A, atoms] logit tensor is MXU-friendly: one dense head
     # of width A*atoms instead of A.
+    # Support calibrated against the trained flagship's observed Q range
+    # (min -24, p99 +36 on a greedy episode: free-flow cycles have positive
+    # speed-term rewards, congested ones negative).
     n_atoms: int = 1
-    v_min: float = -50.0
-    v_max: float = 5.0
+    v_min: float = -30.0
+    v_max: float = 45.0
     # Parameter dtype for compute; bf16 params hurt this tiny net's stability
     # little but matmuls already run via MXU with f32 accumulation.
     dtype: str = "float32"
