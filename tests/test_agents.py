@@ -16,8 +16,11 @@ def tiny_config(algo: str, **hp_kw) -> Config:
         algo=algo, batch_size=16, max_mem=256, min_mem=32, lr=5e-3,
         eps_dec=100.0, **hp_kw,
     )
+    # C51: support sized to the bandit's 0/1 reward scale (the production
+    # default is calibrated to the traffic domain's Q range).
     net = NetworkSpec(kind="mlp", macro_len=8, mlp_hidden=(32, 32),
-                      dueling=ALGO_FLAGS[algo][1])
+                      dueling=ALGO_FLAGS[algo][1],
+                      v_min=-1.0, v_max=2.0)
     return Config(env=env, hp=hp, net=net)
 
 
