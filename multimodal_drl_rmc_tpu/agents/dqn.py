@@ -38,6 +38,7 @@ from ..ops.losses import (
     dqn_loss,
     epsilon_schedule,
     polyak_update,
+    qr_loss,
 )
 
 
@@ -61,9 +62,11 @@ ALGO_FLAGS = {
     "DoubleDQNAgent": (True, False, False, False),
     "DuelingDoubleDQNAgent": (True, True, False, False),
     "PerDuelingDoubleDQNAgent": (True, True, True, False),
-    # TPU-build extension: C51 categorical head over the full stack
-    # (double + dueling + PER; n-step composes via hp.n_step).
-    "C51DuelingDQNAgent": (True, True, True, True),
+    # TPU-build extensions: distributional heads over the full stack
+    # (double + dueling + PER; n-step composes via hp.n_step). The 4th
+    # flag is False or the head family ("c51" / "qr").
+    "C51DuelingDQNAgent": (True, True, True, "c51"),
+    "QrDuelingDQNAgent": (True, True, True, "qr"),
 }
 
 
@@ -89,9 +92,11 @@ def spec_for_algo(cfg: Config):
     double, dueling, per, dist = ALGO_FLAGS[cfg.hp.algo]
     spec = cfg.net
     want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
-    if spec.dueling != dueling or spec.n_atoms != want_atoms:
+    want_kind = dist if dist else spec.dist_kind
+    if spec.dueling != dueling or spec.n_atoms != want_atoms \
+            or spec.dist_kind != want_kind:
         spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
-                             "n_atoms": want_atoms})
+                             "n_atoms": want_atoms, "dist_kind": want_kind})
     return spec, (double, dueling, per, dist)
 
 
@@ -110,9 +115,16 @@ def make_tx(hp) -> optax.GradientTransformation:
 def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
                  dist: bool):
     """(params, target_params, batch, is_weights) -> (loss, |signal|[B]).
-    Selects the scalar TD loss or the C51 categorical loss; shared by the
-    single-chip and DP learner builders."""
-    if dist:
+    Selects the scalar TD loss or a distributional loss (C51 categorical /
+    QR quantile-Huber); shared by the single-chip and DP learner builders."""
+    if dist == "qr":
+        taus = (2.0 * jnp.arange(spec.n_atoms) + 1.0) / (2.0 * spec.n_atoms)
+        quant_fn = lambda p, x: net.apply(p, x, method=net.quantiles)
+
+        def loss(params, target_params, batch, is_w):
+            return qr_loss(quant_fn, params, target_params, batch,
+                           gamma_n, taus, double=double, is_weights=is_w)
+    elif dist:
         support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
         logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
 

@@ -225,6 +225,10 @@ class NetworkSpec:
     n_atoms: int = 1
     v_min: float = -30.0
     v_max: float = 45.0
+    # Distributional head family when n_atoms > 1: "c51" (categorical on
+    # the fixed [v_min, v_max] support) or "qr" (quantile regression,
+    # Dabney et al. 2017 — no support to calibrate; n_atoms = quantiles).
+    dist_kind: str = "c51"
     # Parameter dtype for compute; bf16 params hurt this tiny net's stability
     # little but matmuls already run via MXU with f32 accumulation.
     dtype: str = "float32"
@@ -245,9 +249,10 @@ ALGO_NAMES = (
     "DoubleDQNAgent",
     "DuelingDoubleDQNAgent",
     "PerDuelingDoubleDQNAgent",
-    # TPU-build extension: C51 distributional head on top of the full
+    # TPU-build extensions: distributional heads on top of the full
     # Rainbow-lite stack (double + dueling + PER; n-step via -n_step).
     "C51DuelingDQNAgent",
+    "QrDuelingDQNAgent",
 )
 
 

@@ -205,9 +205,55 @@ class DistributionalQNetwork(nn.Module):
         return jnp.argmax(self(x), axis=-1)
 
 
+class QuantileQNetwork(nn.Module):
+    """QR-DQN head (TPU-build extension; Dabney et al. 2017).
+
+    ``quantiles`` returns [B, A, N] quantile VALUES at the fixed midpoint
+    fractions tau_i = (2i+1)/2N — no support bounds to calibrate (the
+    failure mode of the C51 head on this domain). Dueling aggregation runs
+    on the quantile values; ``__call__`` returns mean-over-quantiles
+    Q-values [B, A] so greedy selection and eval tooling see the scalar-Q
+    surface.
+    """
+
+    spec: NetworkSpec
+    n_actions: int
+
+    def setup(self):
+        self.trunk = _make_trunk(self.spec)
+        dt = _dtype(self.spec)
+        k = self.spec.n_atoms
+        if self.spec.dueling:
+            self.fc_val = nn.Dense(k, dtype=dt, name="fc_val")
+            self.fc_adv = nn.Dense(self.n_actions * k, dtype=dt, name="fc_adv")
+        else:
+            self.fc_out = nn.Dense(self.n_actions * k, dtype=dt, name="fc_out")
+
+    def taus(self) -> jax.Array:
+        k = self.spec.n_atoms
+        return (2.0 * jnp.arange(k) + 1.0) / (2.0 * k)
+
+    def quantiles(self, x: jax.Array) -> jax.Array:
+        feat = self.trunk(x)
+        k = self.spec.n_atoms
+        if self.spec.dueling:
+            val = self.fc_val(feat)[:, None, :]                     # [B,1,K]
+            adv = self.fc_adv(feat).reshape(-1, self.n_actions, k)  # [B,A,K]
+            return val + adv - jnp.mean(adv, axis=1, keepdims=True)
+        return self.fc_out(feat).reshape(-1, self.n_actions, k)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jnp.mean(self.quantiles(x), axis=-1)
+
+    def greedy(self, x: jax.Array) -> jax.Array:
+        return jnp.argmax(self(x), axis=-1)
+
+
 def build_network(spec: NetworkSpec, n_actions: int) -> nn.Module:
     if spec.n_atoms > 1:
-        return DistributionalQNetwork(spec, n_actions)
+        cls = QuantileQNetwork if spec.dist_kind == "qr" \
+            else DistributionalQNetwork
+        return cls(spec, n_actions)
     return (DuelingQNetwork if spec.dueling else QNetwork)(spec, n_actions)
 
 

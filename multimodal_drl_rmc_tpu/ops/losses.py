@@ -171,6 +171,57 @@ def c51_loss(
     return loss, jax.lax.stop_gradient(ce)
 
 
+def qr_loss(
+    quantiles_fn,
+    params,
+    target_params,
+    batch: Batch,
+    gamma: float,
+    taus: jax.Array,
+    *,
+    double: bool = True,
+    is_weights: jax.Array | None = None,
+    kappa: float = 1.0,
+):
+    """QR-DQN quantile-Huber loss (Dabney et al. 2017 eq. 10).
+
+    Target quantiles T_j = r + gamma*(1-d)*theta'_j(s', a*) with a* chosen
+    by the online network's mean-Q (double) or the target's (vanilla).
+    The loss is the mean over target quantiles of the asymmetric Huber
+    between every (online quantile i, target quantile j) pair. Returns
+    (scalar loss, per-sample mean |TD| [B]) — the PER priority signal.
+    """
+    b = batch.obs.shape[0]
+    target_q_next = jax.lax.stop_gradient(
+        quantiles_fn(target_params, batch.next_obs))        # [B, A, K]
+    if double:
+        both = quantiles_fn(
+            params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
+        online_q = both[:b]
+        q_next = jnp.mean(jax.lax.stop_gradient(both[b:]), axis=-1)
+    else:
+        online_q = quantiles_fn(params, batch.obs)
+        q_next = jnp.mean(target_q_next, axis=-1)
+    best = jnp.argmax(q_next, axis=-1)                      # [B]
+    theta_next = jnp.take_along_axis(
+        target_q_next, best[:, None, None], axis=1)[:, 0, :]        # [B, K]
+    targets = batch.reward[:, None] \
+        + gamma * (1.0 - batch.done[:, None]) * theta_next          # [B, K]
+    targets = jax.lax.stop_gradient(targets)
+
+    theta = jnp.take_along_axis(
+        online_q, batch.action[:, None, None], axis=1)[:, 0, :]     # [B, K]
+    # Pairwise TD: u[b, i, j] = target_j - online_i.
+    u = targets[:, None, :] - theta[:, :, None]             # [B, K, K]
+    h = huber(u, kappa)
+    w = jnp.abs(taus[None, :, None] - (u < 0.0)) / kappa
+    per_sample = jnp.mean(jnp.sum(w * h, axis=1), axis=1)   # [B]
+    loss = jnp.mean(is_weights * per_sample) if is_weights is not None \
+        else jnp.mean(per_sample)
+    prio = jnp.mean(jnp.abs(u), axis=(1, 2))
+    return loss, jax.lax.stop_gradient(prio)
+
+
 def polyak_update(target_params, online_params, tau: float):
     """Soft target update (reference agent.py:105-110): t = tau*o + (1-tau)*t."""
     return jax.tree_util.tree_map(

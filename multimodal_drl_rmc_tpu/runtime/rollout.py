@@ -34,15 +34,17 @@ class PolicyRunner:
         base_cfg = cfg or Config()
         spec = network_spec_for_variant(obs_variant)
         dueling = "Dueling" in algo
-        n_atoms = 1
-        if algo.startswith("C51"):
-            # Atom count is a spec knob, not in the filename — infer it from
-            # the checkpoint's advantage-head width.
+        n_atoms, kind = 1, spec.dist_kind
+        if algo.startswith(("C51", "Qr")):
+            # Atom/quantile count is a spec knob, not in the filename —
+            # infer it from the checkpoint's advantage-head width.
             n_atoms = packio.peek_head_width(model_path) \
                 // base_cfg.env.n_actions
-        if spec.dueling != dueling or spec.n_atoms != n_atoms:
+            kind = "qr" if algo.startswith("Qr") else "c51"
+        if spec.dueling != dueling or spec.n_atoms != n_atoms \
+                or spec.dist_kind != kind:
             spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
-                                 "n_atoms": n_atoms})
+                                 "n_atoms": n_atoms, "dist_kind": kind})
         self.cfg = base_cfg.replace(net=spec)
         if self.cfg.env.obs_variant != obs_variant:
             self.cfg = self.cfg.replace(

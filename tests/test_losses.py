@@ -108,3 +108,42 @@ def test_categorical_project_identity_and_shift():
     r = jax.random.uniform(rng, (7,), minval=-3.0, maxval=3.0)
     out = categorical_project(pr, r, jnp.zeros(7), 0.99, support)
     np.testing.assert_allclose(np.asarray(out.sum(-1)), np.ones(7), atol=1e-5)
+
+
+def test_qr_loss_converges_to_quantiles():
+    """Minimizing the quantile-Huber loss over a fixed target sample set
+    drives the predicted quantiles toward the sample distribution's
+    quantiles (here: targets ~ {0, 10} equally likely -> the low/high
+    quantile estimates straddle both modes, mean ~ 5)."""
+    import jax
+
+    from multimodal_drl_rmc_tpu.ops.losses import qr_loss
+
+    K = 8
+    taus = (2.0 * jnp.arange(K) + 1.0) / (2.0 * K)
+    theta0 = jnp.zeros((1, 1, K))  # one state, one action
+
+    def quantiles_fn(params, x):
+        return jnp.broadcast_to(params, (x.shape[0], 1, K))
+
+    b = 64
+    rng = np.random.RandomState(0)
+    rewards = jnp.asarray(rng.choice([0.0, 10.0], size=b).astype(np.float32))
+    batch = Batch(obs=jnp.zeros((b, 2)), action=jnp.zeros(b, jnp.int32),
+                  reward=rewards, done=jnp.ones(b), next_obs=jnp.zeros((b, 2)))
+
+    import optax
+    opt = optax.adam(0.5)
+    params = theta0
+    state = opt.init(params)
+    grad = jax.jit(jax.grad(lambda p: qr_loss(
+        quantiles_fn, p, p, batch, 0.99, taus, double=False)[0]))
+    for _ in range(300):
+        g = grad(params)
+        upd, state = opt.update(g, state)
+        params = optax.apply_updates(params, upd)
+    q = np.asarray(params[0, 0])
+    sample_mean = float(np.asarray(rewards).mean())
+    assert q[0] < 2.0 and q[-1] > 8.0      # extreme quantiles hit the modes
+    assert abs(q.mean() - sample_mean) < 1.0   # mean-Q ~ sample mean
+    assert np.all(np.diff(q) >= -0.5)      # approximately monotone

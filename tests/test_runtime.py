@@ -203,13 +203,14 @@ def test_device_trainer_periodic_saves_and_snapshots(tmp_path, monkeypatch):
     assert snaps, "expected at least one step-tagged snapshot pack"
 
 
-def test_c51_policy_runner_roundtrip(tmp_path):
-    """C51 (distributional) extension: learner trains, pack round-trips via
-    the torch-layout codec, and PolicyRunner rebuilds the 51-atom head from
-    the filename convention."""
+@pytest.mark.parametrize("algo", ["C51DuelingDQNAgent", "QrDuelingDQNAgent"])
+def test_distributional_policy_runner_roundtrip(tmp_path, algo):
+    """Distributional extensions (C51/QR): learner trains, pack round-trips
+    via the torch-layout codec, and PolicyRunner rebuilds the 51-atom head
+    from the filename convention + checkpoint head width."""
     import jax
 
-    cfg = tiny_cfg(tmp_path, algo="C51DuelingDQNAgent")
+    cfg = tiny_cfg(tmp_path, algo=algo)
     learner = make_learner(cfg)
     state = learner.init_state(jax.random.PRNGKey(0))
     buf = learner.init_buffer()
