@@ -56,6 +56,8 @@ SHORT = {
     "DQNAgentPer": "DQN + PER",
     "DQNAgentMacroLane": "DQN macro-lane",
     "DQNAgentMacroNoLane": "DQN macro-no-lane",
+    "DQNAgentC51": "DQN C51 (exp.)",
+    "DQNAgentQr": "DQN QR (exp.)",
 }
 
 
