@@ -242,7 +242,7 @@ def make_env_fns(cfg: EnvConfig):
     return reset_one, obs_one, step_one
 
 
-def make_batched_step(cfg: EnvConfig, interpret: bool = False):
+def make_batched_step(cfg: EnvConfig, interpret: bool | None = None):
     """Whole-batch control-cycle step using the BT>1 kernel path.
 
     Equivalent to ``jax.vmap(step_one)`` but the 1 s inner loop calls
@@ -253,6 +253,10 @@ def make_batched_step(cfg: EnvConfig, interpret: bool = False):
     """
     from .core import step_1s_batched
 
+    if interpret is None:
+        # Auto: compiled kernel on TPU, interpret mode on CPU (tests /
+        # forced MDRLRMC_BATCHED=1 without a real chip).
+        interpret = jax.default_backend() == "cpu"
     reset_one, obs_one, step_one = make_env_fns(cfg)
     actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
     cyc = int(cfg.cycle_seconds)

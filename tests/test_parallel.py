@@ -90,3 +90,30 @@ def test_distributed_device_trainer_8dev():
     leaf = jax.tree_util.tree_leaves(carry.train_state.params)[0]
     assert len(set(str(s.device) if hasattr(s, "device") else 0
                    for s in leaf.addressable_shards)) == 8
+
+
+def test_distributed_trainer_batched_kernel_matches_vmapped():
+    """The per-shard BT>1 kernel path (interpret mode on the CPU mesh)
+    produces the same training trajectory as the vmapped step inside
+    shard_map — same RNG stream, so identical losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_drl_rmc_tpu.config import (
+        Config, EnvConfig, HyperParams, ScenarioConfig)
+    from multimodal_drl_rmc_tpu.parallel.mesh import make_mesh
+    from multimodal_drl_rmc_tpu.sim.distributed import DistributedDeviceTrainer
+
+    cfg = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+        hp=HyperParams(algo="DuelingDoubleDQNAgent", batch_size=8,
+                       min_mem=8, max_mem=256),
+    )
+    outs = {}
+    for bk in (False, True):
+        tr = DistributedDeviceTrainer(cfg, make_mesh(4), envs_per_device=1,
+                                      seed=5, batched_kernel=bk)
+        carry, out = tr.run(warm_chunks=1, train_chunks=1)
+        outs[bk] = (float(out["loss"]), float(out["reward"]))
+    assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-4)
+    assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-4)
