@@ -58,7 +58,7 @@ def main(results_dir: str = "evaluation/results") -> pd.DataFrame:
 def paired(results_dir: str = "evaluation/results",
            base: str = "FixedCycleBaseline") -> pd.DataFrame:
     """Per-seed paired differences vs ``base`` (negative = better than base
-    on TTT/delay). mean ± 1.96·sem over the common seeds + win rate."""
+    on TTT/delay). mean ± t(.975, n-1)·sem over the common seeds + win rate."""
     import glob
     import os
 
@@ -76,12 +76,16 @@ def paired(results_dir: str = "evaluation/results",
         if len(common) < 2:
             continue
         row = {"strategy": s, "n": len(common)}
+        # Student-t critical value, not 1.96: at typical n=20-50 episodes
+        # the normal value is anti-conservative for a paired CI.
+        from scipy import stats as _st
+        tcrit = float(_st.t.ppf(0.975, len(common) - 1))
         for col, label in (("total_travel_time", "dTTT"),
                            ("avg_time_loss", "dDelay")):
             d = df.loc[common, col] - bdf.loc[common, col]
             sem = d.std(ddof=1) / len(d) ** 0.5
             row[f"{label} mean"] = d.mean()
-            row[f"{label} ±95%"] = 1.96 * sem
+            row[f"{label} ±95%"] = tcrit * sem
             row[f"{label} win%"] = 100.0 * (d < 0).mean()
         rows.append(row)
     table = pd.DataFrame(rows)

@@ -4,7 +4,7 @@ Reimplements the reference's ``_create_grid_observation``
 (sumo_env.py:228-302) as a stateless transform from a ``VehicleSnapshot``
 to the [rows, cols, channels] grid, so it is unit-testable against
 hand-placed vehicles and shared by every host backend. (The on-device JAX
-simulator builds the same grid with vectorized segment ops in sim/obs.py.)
+simulator builds the same grid with vectorized segment ops in sim/env.py.)
 
 Layout quirk preserved for checkpoint parity: the reference allocates the
 grid HWC — np.zeros((rows, cols, channels)) with channel 0 = normalized

@@ -175,9 +175,11 @@ def write_sumo_scenario(
 ) -> dict:
     """Write SUMO inputs generated from ``spec``; returns produced paths.
 
-    Emits <name>.nod.xml / .edg.xml / .con.xml / .tll.xml, the detector
+    Emits <name>.nod.xml / .edg.xml / .con.xml, the detector + TL-program
     .add.xml, and a .sumocfg. If ``netconvert`` is on PATH (and
-    ``run_netconvert``), also builds <name>.net.xml.
+    ``run_netconvert``), also builds <name>.net.xml (whose auto TL program
+    "0" is superseded at load by the add.xml program "rl", mirroring the
+    reference's net.xml:116-119 / add.xml:31-35 layout).
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
@@ -218,24 +220,22 @@ def write_sumo_scenario(
     paths["con"] = p("con.xml")
     _write(paths["con"], con)
 
-    # Ramp-meter TL program: G then r (reference 1ramp_1x3.add.xml:31-35).
-    tll = [
-        "<tlLogics>",
-        f'    <tlLogic id="{spec.tl_node}" type="static" programID="rl" offset="0">',
-        '        <phase duration="5" state="G"/>',
-        '        <phase duration="5" state="r"/>',
-        "    </tlLogic>",
-        "</tlLogics>",
-    ]
-    paths["tll"] = p("tll.xml")
-    _write(paths["tll"], tll)
-
     add = ["<additional>"]
     for loop in spec.loops:
         add.append(
             f'    <inductionLoop id="{loop.id}" lane="{loop.lane}" pos="{loop.pos_m}" '
             f'period="{loop.period_s:.2f}" file="induction_loop_data/{loop.id}.xml"/>'
         )
+    # Ramp-meter TL program: G then r, shipped in the ADDITIONAL file like
+    # the reference (1ramp_1x3.add.xml:31-35) — SUMO activates the
+    # last-loaded program, so "rl" (not netconvert's auto program "0")
+    # is current when RampMeterEnv calls setPhase(0/1).
+    add += [
+        f'    <tlLogic id="{spec.tl_node}" type="static" programID="rl" offset="0">',
+        '        <phase duration="5" state="G"/>',
+        '        <phase duration="5" state="r"/>',
+        "    </tlLogic>",
+    ]
     add.append("</additional>")
     paths["add"] = p("add.xml")
     _write(paths["add"], add)
@@ -271,7 +271,6 @@ def write_sumo_scenario(
                 "--node-files", paths["nod"],
                 "--edge-files", paths["edg"],
                 "--connection-files", paths["con"],
-                "--tllogic-files", paths["tll"],
                 "--no-turnarounds",
                 "-o", p("net.xml"),
             ],

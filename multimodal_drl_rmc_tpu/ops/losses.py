@@ -218,8 +218,12 @@ def qr_loss(
     per_sample = jnp.mean(jnp.sum(w * h, axis=1), axis=1)   # [B]
     loss = jnp.mean(is_weights * per_sample) if is_weights is not None \
         else jnp.mean(per_sample)
-    prio = jnp.mean(jnp.abs(u), axis=(1, 2))
-    return loss, jax.lax.stop_gradient(prio)
+    # PER priority = the per-sample quantile-Huber loss itself, NOT
+    # mean |u| over all KxK pairs: |u| is bounded below by the predicted
+    # distribution's spread, which would permanently up-weight
+    # high-variance states even at zero TD error (standard QR-DQN+PER
+    # practice uses the loss as the priority signal).
+    return loss, jax.lax.stop_gradient(per_sample)
 
 
 def polyak_update(target_params, online_params, tau: float):

@@ -72,6 +72,17 @@ _SEG_SPEED = np.asarray(GEO.seg_speed, np.float32)
 _STOP = np.where(np.isfinite(GEO.stop_line), GEO.stop_line, BIG)
 
 
+def _block_for(b: int, block: int) -> int:
+    """Env-tile size: ``block`` when it divides the batch, else the largest
+    divisor of ``b`` that still fits one VMEM block. Never silently ``b``
+    itself — a large non-multiple batch (e.g. a prime) would blow VMEM or
+    fail Mosaic lowering far from the call site. bt=1 is a valid, if slow,
+    floor (_sum_bc branches on the static block shape)."""
+    if b % block == 0:
+        return block
+    return next(d for d in range(min(block, b), 0, -1) if b % d == 0)
+
+
 def _sum_bc(x):
     """[BT, C, N] -> [BT, 1] total. Mosaic lowers a different reduction
     shape per mode: the fused ``sum(axis=(1, 2), keepdims=True)[:, :, 0]``
@@ -254,7 +265,7 @@ def fused_substeps(pos, speed, active, wait, head, red, breakdown=None, *,
     merge-breakdown level (defaults to 0). Returns (pos, speed, wait).
     """
     b = pos.shape[0]
-    bt = block if b % block == 0 else b
+    bt = _block_for(b, block)
     grid = (b // bt,)
     spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -372,7 +383,7 @@ def fused_step(pos, speed, active, wait, head, red, breakdown=None, *,
     from ...sim.geometry import LOOPS_PER_CHAIN
 
     b = pos.shape[0]
-    bt = block if b % block == 0 else b
+    bt = _block_for(b, block)
     grid = (b // bt,)
     spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -594,7 +605,7 @@ def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
     from ...sim.geometry import LOOPS_PER_CHAIN
 
     b = pos.shape[0]
-    bt = block if b % block == 0 else b
+    bt = _block_for(b, block)
     grid = (b // bt,)
     spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)

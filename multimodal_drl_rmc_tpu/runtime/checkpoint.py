@@ -27,7 +27,8 @@ def _numpyify(tree: Any) -> Any:
 
 
 def save_train_state(path: str, state, *, rew_mean: float = 0.0,
-                     len_mean: float = 0.0, episode_count: int = 0) -> None:
+                     len_mean: float = 0.0, episode_count: int = 0,
+                     extra_meta: dict | None = None) -> None:
     payload = {
         "state": serialization.to_state_dict(_numpyify(state)),
         "meta": {
@@ -35,6 +36,7 @@ def save_train_state(path: str, state, *, rew_mean: float = 0.0,
             "len_mean": float(len_mean),
             "episode_count": int(episode_count),
             "step": int(state.step),
+            **(extra_meta or {}),
         },
     }
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -75,10 +77,10 @@ def export_pack(cfg: Config, state, *, rew_mean: float = 0.0,
     return path
 
 
-def save_all(cfg: Config, state, stats) -> None:
+def save_all(cfg: Config, state, stats, extra_meta: dict | None = None) -> None:
     kw = dict(rew_mean=stats.rew_mean, len_mean=stats.len_mean,
               episode_count=stats.count)
-    save_train_state(state_path(cfg), state, **kw)
+    save_train_state(state_path(cfg), state, extra_meta=extra_meta, **kw)
     export_pack(cfg, state, **kw)
 
 

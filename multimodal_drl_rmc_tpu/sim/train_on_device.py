@@ -172,13 +172,26 @@ class DeviceTrainer:
         rew_mean = 0.0
         episodes = 0
         self.resumed = False
+        self.start_env_steps = 0
         if self.cfg.hp.load:
             train_state, meta = checkpoint.try_resume(self.cfg, train_state)
             rew_mean = meta.get("rew_mean", 0.0)
             episodes = meta.get("episode_count", 0)
             if meta.get("step", 0):
                 self.resumed = True
-                print(f"resumed device trainer at step {meta['step']}")
+                # Global env-step offset so a resumed run continues the
+                # original step accounting (snapshot tags, tensorboard x
+                # axis, budget) instead of restarting at 0 — which would
+                # re-write _step<N>k_model.pack snapshots with later
+                # weights and corrupt the snapshot-sweep checkpoint
+                # selection. Full-state checkpoints carry env_steps
+                # explicitly; .pack-only resumes derive it from the
+                # learner-update count and the replay ratio.
+                self.start_env_steps = int(meta.get(
+                    "env_steps",
+                    meta["step"] * self.batch // self.k_updates))
+                print(f"resumed device trainer at step {meta['step']} "
+                      f"({self.start_env_steps} env steps)")
         nstep = None
         if self.cfg.hp.n_step > 1:
             m = self.cfg.hp.n_step - 1
@@ -206,6 +219,7 @@ class DeviceTrainer:
     def run(self, log: bool = True) -> Carry:
         cfg = self.cfg
         carry = self.init_carry()
+        self.env_steps_done = self.start_env_steps
         run = checkpoint.run_name(cfg)
         if cfg.env.obs_variant != "hybrid":
             run += f"_{cfg.env.obs_variant}"   # variant runs get their own
@@ -219,7 +233,15 @@ class DeviceTrainer:
             carry = self._warm_chunk(carry, n, self.resumed)
             done_warm += n
 
-        total_iters = max(1, cfg.hp.max_total_steps // self.batch)
+        # Budget is GLOBAL env steps (reference train.py:203 semantics:
+        # resume continues toward max_total_steps, it does not add a fresh
+        # budget on top — pass a larger -max_total_steps to continue past
+        # the original budget).
+        total_iters = max(0, (cfg.hp.max_total_steps - self.start_env_steps)
+                          // self.batch)
+        if self.resumed and total_iters == 0:
+            print(f"resumed at {self.start_env_steps} env steps >= budget "
+                  f"{cfg.hp.max_total_steps}; nothing to train")
         # Periodic full-state saves (~every 2 min at B=256 steady state) so a
         # host/tunnel failure costs minutes, not the run: the reference saves
         # every save_freq steps (agent.py:123-128); here a full TrainState
@@ -230,20 +252,24 @@ class DeviceTrainer:
             or self.CHUNK
         t0 = time.time()
         it = 0
+        start = self.start_env_steps
         while it < total_iters:
             carry, out = self._train_chunk(carry)
             it += self.CHUNK
+            self.env_steps_done = start + it * self.batch
+            genv = self.env_steps_done   # GLOBAL env steps incl. resume offset
             if it % save_iters == 0 and it < total_iters:
                 self.save(carry)
                 # Step-tagged snapshot every SNAPSHOT_EVERY env steps: long
                 # runs can regress late (the reference keeps only the last
                 # save); tagged packs let eval pick the best checkpoint.
+                # Tags are GLOBAL steps: a resumed run continues the
+                # sequence instead of re-writing earlier snapshots.
                 se = self.SNAPSHOT_EVERY
-                if (it * self.batch) // se > \
-                        ((it - save_iters) * self.batch) // se:
+                if genv // se > (genv - save_iters * self.batch) // se:
                     import shutil
                     pack = checkpoint.pack_path(self.cfg)
-                    tag = f"_step{(it * self.batch) // se * se // 1000}k"
+                    tag = f"_step{genv // se * se // 1000}k"
                     shutil.copyfile(pack, pack.replace("_model.pack",
                                                        f"{tag}_model.pack"))
             if writer and (it % max(self.CHUNK, (cfg.hp.log_freq // self.batch)
@@ -259,9 +285,9 @@ class DeviceTrainer:
                         "cycle_reward": float(out["reward"]),
                         "env_steps_per_sec": sps,
                     },
-                    it * self.batch,
+                    genv,
                 )
-                print(f"iter {it * self.batch}: rew_ema {float(carry.rew_mean):.2f} "
+                print(f"iter {genv}: rew_ema {float(carry.rew_mean):.2f} "
                       f"loss {float(out['loss']):.4f} {sps:.1f} env-steps/s")
         if writer:
             writer.close()
@@ -273,7 +299,10 @@ class DeviceTrainer:
             len_mean = float(self.cfg.env.max_agent_steps_per_episode)
             count = int(carry.episodes)
 
-        checkpoint.save_all(self.cfg, carry.train_state, _S())
+        checkpoint.save_all(self.cfg, carry.train_state, _S(),
+                            extra_meta={"env_steps": int(getattr(
+                                self, "env_steps_done",
+                                self.start_env_steps))})
 
 
 def train_on_device(cfg: Config, seed: int = 0, batch: int | None = None,

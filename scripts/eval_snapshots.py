@@ -28,21 +28,40 @@ def main() -> None:
     ap.add_argument("-n", type=int, default=20)
     ap.add_argument("--master-seed", type=int, default=42)
     ap.add_argument("--obs-variant", default="hybrid")
+    ap.add_argument("--algo", default=None,
+                    help="only sweep packs of this algo (required when the "
+                         "save dir mixes algos — shared save/ layout)")
     args = ap.parse_args()
 
     packs = sorted(glob.glob(os.path.join(args.save_dir, "*_model.pack")))
     if not packs:
         raise SystemExit(f"no *_model.pack files under {args.save_dir}")
 
+    def algo_of(p):
+        m = re.match(r"(.+?)_lr", os.path.basename(p))
+        return m.group(1) if m else "?"
+
+    algos = sorted({algo_of(p) for p in packs})
+    if args.algo:
+        packs = [p for p in packs if algo_of(p) == args.algo]
+        if not packs:
+            raise SystemExit(f"no packs for algo {args.algo} "
+                             f"(found: {', '.join(algos)})")
+    elif len(algos) > 1:
+        raise SystemExit(f"save dir mixes algos {algos}; pass --algo to "
+                         "pick one (otherwise unrelated checkpoints would "
+                         "share one sweep table)")
+
     def step_of(p):
         m = re.search(r"_step(\d+)k_model\.pack$", p)
         return int(m.group(1)) * 1000 if m else float("inf")  # final last
     packs.sort(key=step_of)
 
+    algo = algo_of(packs[0])
     rows = []
     for pack in packs:
-        tag = f"Snap{step_of(pack) // 1000}k" if step_of(pack) != float("inf") \
-            else "SnapFinal"
+        tag = (f"{algo}Snap{step_of(pack) // 1000}k"
+               if step_of(pack) != float("inf") else f"{algo}SnapFinal")
         cmd = [sys.executable, "evaluate.py", "-s", "DQNAgent",
                "-n", str(args.n), "--master-seed", str(args.master_seed),
                "--backend", "native", "--obs-variant", args.obs_variant,

@@ -203,6 +203,49 @@ def test_device_trainer_periodic_saves_and_snapshots(tmp_path, monkeypatch):
     assert snaps, "expected at least one step-tagged snapshot pack"
 
 
+def test_device_trainer_resume_continues_step_accounting(tmp_path, monkeypatch):
+    """A resumed DeviceTrainer continues GLOBAL env-step accounting: new
+    snapshot tags extend the sequence instead of re-writing earlier
+    _step<N>k packs with later-trained weights (which would corrupt the
+    snapshot-sweep checkpoint selection), and the budget is total steps,
+    not a fresh budget per resume."""
+    import glob
+
+    from multimodal_drl_rmc_tpu.sim.train_on_device import DeviceTrainer
+
+    monkeypatch.setattr(DeviceTrainer, "SAVE_MIN_ITERS", 32)
+    monkeypatch.setattr(DeviceTrainer, "SNAPSHOT_EVERY", 1000)
+    base_hp = dict(batch_size=8, min_mem=8, max_mem=512, save_freq=1,
+                   save_dir=str(tmp_path / "save") + "/",
+                   log_dir=str(tmp_path / "logs") + "/")
+    cfg1 = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+        hp=HyperParams(load=False, max_total_steps=2000, **base_hp),
+    )
+    DeviceTrainer(cfg1, batch=8, replay_ratio=1.0).run(log=False)
+    snaps1 = sorted(glob.glob(str(tmp_path / "save" / "*_step*k_model.pack")))
+    assert snaps1, "first run should have written a step-tagged snapshot"
+    mtimes1 = {p: os.path.getmtime(p) for p in snaps1}
+    # Full-state checkpoint carries the env-step counter.
+    _, meta = checkpoint.load_train_state(
+        checkpoint.state_path(cfg1),
+        make_learner(cfg1).init_state(__import__("jax").random.PRNGKey(0)))
+    assert meta.get("env_steps", 0) > 0
+
+    import dataclasses
+    cfg2 = cfg1.replace(hp=dataclasses.replace(
+        cfg1.hp, load=True, max_total_steps=4000))
+    tr2 = DeviceTrainer(cfg2, batch=8, replay_ratio=1.0)
+    tr2.run(log=False)
+    assert tr2.start_env_steps == meta["env_steps"]
+    snaps2 = sorted(glob.glob(str(tmp_path / "save" / "*_step*k_model.pack")))
+    new = [p for p in snaps2 if p not in mtimes1]
+    assert new, "resumed run should extend the snapshot sequence"
+    for p, t in mtimes1.items():
+        assert os.path.getmtime(p) == t, \
+            f"resume must not overwrite earlier snapshot {p}"
+
+
 @pytest.mark.parametrize("algo", ["C51DuelingDQNAgent", "QrDuelingDQNAgent"])
 def test_distributional_policy_runner_roundtrip(tmp_path, algo):
     """Distributional extensions (C51/QR): learner trains, pack round-trips

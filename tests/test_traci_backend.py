@@ -60,6 +60,10 @@ class FakeSumo(types.ModuleType):
         self.min_expected = 10
         self.departed_total = 0
         self.arrived_total = 0
+        # Recorded call trace: ("setPhase", idx) / ("setPhaseDuration", s) /
+        # ("step",) / ("interval_read", loop) / ("queue_read", edge) tuples,
+        # for replaying a control cycle against the reference's RPC order.
+        self.trace: list[tuple] = []
 
         fake = self
 
@@ -110,6 +114,7 @@ class FakeSumo(types.ModuleType):
             @staticmethod
             def setPhase(tl_id, idx):
                 assert tl_id == RAMP_1X3.tl_node
+                fake.trace.append(("setPhase", int(idx)))
                 fake._phase = int(idx)
 
             @staticmethod
@@ -118,14 +123,17 @@ class FakeSumo(types.ModuleType):
 
             @staticmethod
             def setPhaseDuration(tl_id, dur):
+                fake.trace.append(("setPhaseDuration", float(dur)))
                 fake._phase_durations.append(float(dur))
 
             @staticmethod
             def getRedYellowGreenState(tl_id):
                 return "G" if fake._phase == 0 else "r"
 
-        def _scripted(table, default):
+        def _scripted(table, default, trace_as=None):
             def get(loop_id):
+                if trace_as:
+                    fake.trace.append((trace_as, loop_id))
                 if loop_id in fake.raise_for:
                     raise RuntimeError(f"TraCI error on {loop_id}")
                 return table.get(loop_id, default)
@@ -134,9 +142,9 @@ class FakeSumo(types.ModuleType):
 
         class _InductionLoop:
             getLastIntervalVehicleNumber = staticmethod(
-                _scripted(self.loop_interval_count, 0))
+                _scripted(self.loop_interval_count, 0, "interval_read"))
             getLastIntervalOccupancy = staticmethod(
-                _scripted(self.loop_interval_occ, 0.0))
+                _scripted(self.loop_interval_occ, 0.0, "interval_read"))
             getLastStepVehicleNumber = staticmethod(
                 _scripted(self.loop_step_count, 0))
             getLastStepMeanSpeed = staticmethod(
@@ -145,6 +153,7 @@ class FakeSumo(types.ModuleType):
         class _Edge:
             @staticmethod
             def getLastStepVehicleNumber(edge_id):
+                fake.trace.append(("queue_read", edge_id))
                 if edge_id in fake.raise_for:
                     raise RuntimeError(f"TraCI error on {edge_id}")
                 return fake.edge_counts.get(edge_id, 0)
@@ -172,6 +181,7 @@ class FakeSumo(types.ModuleType):
 
     def simulationStep(self):
         assert self.running, "simulationStep on a closed connection"
+        self.trace.append(("step",))
         self._t += 1.0
         self._departed_last_step = [
             vid for vid, v in self.script_vehicles.items()
@@ -416,3 +426,52 @@ def test_full_control_cycle_through_rl_controller(fake_sumo, tmp_path):
     assert done  # 125 s >= 120 s episode
     env.close()
     assert not fake.running
+
+
+def test_recorded_trace_of_one_control_cycle(fake_sumo, tmp_path):
+    """Recorded-trace replay of ONE 40 s control cycle: the exact TraCI
+    RPC order the reference issues (rl_controller.py:211-294) — green
+    program set, ~green_sec stepped sim-seconds with a per-step ramp-queue
+    read, red program set, the remaining sim-seconds, and ONLY THEN the
+    cycle-end interval detector aggregation (:129-151). Guards against
+    regressions that move detector reads inside the phase loop (which
+    would read half-finished 40 s aggregation windows on real SUMO)."""
+    from multimodal_drl_rmc_tpu.envs.rl_controller import RampMeterEnv
+
+    fake, tb = fake_sumo
+    cfg = EnvConfig(scenario=ScenarioConfig(episode_seconds=400.0))
+    backend = tb.TraciBackend(cfg.scenario, RAMP_1X3,
+                              data_dir=str(tmp_path / "data"))
+    env = RampMeterEnv(backend, cfg)
+    env.reset(seed=0)
+    fake.trace.clear()
+
+    env.step(3)  # 20 s green / 20 s red
+
+    trace = list(fake.trace)
+    # Phase program order: green first, then red, each with its duration.
+    assert trace[0] == ("setPhase", 0)
+    assert trace[1] == ("setPhaseDuration", 20.0)
+    red_at = trace.index(("setPhase", 1))
+    assert trace[red_at + 1] == ("setPhaseDuration", 20.0)
+    # 20 green sim-seconds, each followed by the per-step queue read
+    # (reference's queue accumulation inside the phase loop).
+    green_part = trace[2:red_at]
+    assert green_part == [("step",), ("queue_read", "on_ramp")] * 20
+    # 20 red sim-seconds after the red program switch.
+    steps_after_red = [i for i, ev in enumerate(trace)
+                       if ev == ("step",) and i > red_at]
+    assert len(steps_after_red) == 20
+    last_step = steps_after_red[-1]
+    # Cycle-end detector aggregation strictly AFTER the last sim step:
+    # no interval read may occur before the 40 s window closes.
+    interval_reads = [i for i, ev in enumerate(trace)
+                      if ev[0] == "interval_read"]
+    assert interval_reads and min(interval_reads) > last_step
+    # The aggregation covers every state detector group (~30 RPCs).
+    read_loops = {trace[i][1] for i in interval_reads}
+    for group in (RAMP_1X3.upstream_state_loops,
+                  RAMP_1X3.bottleneck_state_loops,
+                  RAMP_1X3.downstream_loops):
+        assert set(group) <= read_loops
+    env.close()
