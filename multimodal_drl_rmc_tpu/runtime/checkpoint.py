@@ -26,6 +26,16 @@ def _numpyify(tree: Any) -> Any:
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
+def _atomic_write(path: str, blob: bytes) -> None:
+    """tmp + rename so a kill mid-write (the tunnel-hang watchdog uses
+    SIGKILL) can never corrupt the only checkpoint."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
 def save_train_state(path: str, state, *, rew_mean: float = 0.0,
                      len_mean: float = 0.0, episode_count: int = 0,
                      extra_meta: dict | None = None) -> None:
@@ -39,9 +49,7 @@ def save_train_state(path: str, state, *, rew_mean: float = 0.0,
             **(extra_meta or {}),
         },
     }
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
+    _atomic_write(path, serialization.msgpack_serialize(payload))
 
 
 def load_train_state(path: str, template_state):
@@ -64,6 +72,45 @@ def pack_path(cfg: Config) -> str:
 
 def state_path(cfg: Config) -> str:
     return os.path.join(cfg.hp.save_dir, f"{run_name(cfg)}_state.msgpack")
+
+
+def full_path(cfg: Config) -> str:
+    return os.path.join(cfg.hp.save_dir, f"{run_name(cfg)}_full.msgpack")
+
+
+# ---------------------------------------------------------------------------
+# LOSSLESS checkpoints (SURVEY §7 blueprint: params + opt + step + replay
+# contents + PER priorities/sum-tree + RNG). The payload is an arbitrary
+# pytree — the device trainer passes its whole scanned Carry (env states,
+# obs, TrainState, replay buffer incl. sum tree, RNG, n-step window), the
+# host trainer (state, buffer, rng) — so kill + resume continues
+# BIT-IDENTICALLY. The reference drops replay and RNG on resume
+# (network.py:27-47) and silently retrains from a refilled buffer.
+# ---------------------------------------------------------------------------
+
+
+def save_full(path: str, payload_tree, meta: dict) -> None:
+    blob = serialization.msgpack_serialize({
+        "payload": serialization.to_state_dict(_numpyify(payload_tree)),
+        "meta": dict(meta),
+    })
+    _atomic_write(path, blob)
+
+
+def load_full(path: str, template_tree):
+    """Restore a full checkpoint onto a freshly-built template pytree
+    (shapes/structure source). Returns (payload, meta)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    tree = serialization.from_state_dict(template_tree, payload["payload"])
+    return tree, dict(payload["meta"])
+
+
+def peek_meta(path: str) -> dict:
+    """Meta dict of a *_state/*_full checkpoint without materializing the
+    payload arrays as device values (they stay numpy)."""
+    with open(path, "rb") as f:
+        return dict(serialization.msgpack_restore(f.read())["meta"])
 
 
 def export_pack(cfg: Config, state, *, rew_mean: float = 0.0,

@@ -82,14 +82,33 @@ class Trainer:
         self.timer = StepTimer()
         self.resume_step = 0
 
+        self.full_resumed = False
         if hp.load:
             self.state, meta = checkpoint.try_resume(cfg, self.state)
             self.resume_step = int(meta.get("step", 0))
+            # Prefer the lossless full checkpoint (state + replay + RNG)
+            # when it is at least as far along: resume then continues from
+            # the exact buffer instead of a greedy refill. (The host-side
+            # n-step FIFO is not persisted — at most n-1 in-flight
+            # transitions per env reset on resume; the device trainer is
+            # the fully bit-identical path.)
+            import os
+
+            fp = checkpoint.full_path(cfg)
+            if os.path.isfile(fp):
+                fmeta = checkpoint.peek_meta(fp)
+                if int(fmeta.get("step", 0)) >= self.resume_step:
+                    (self.state, self.buffer, self.rng), meta = \
+                        checkpoint.load_full(
+                            fp, (self.state, self.buffer, self.rng))
+                    self.resume_step = int(meta.get("step", 0))
+                    self.full_resumed = True
             self.stats.seed(meta.get("rew_mean", 0.0), meta.get("len_mean", 0.0),
                             meta.get("episode_count", 0))
             if self.resume_step:
                 print(f"resumed at step {self.resume_step} "
-                      f"(rew_mean {meta.get('rew_mean', 0):.2f})")
+                      f"(rew_mean {meta.get('rew_mean', 0):.2f}"
+                      f"{', lossless' if self.full_resumed else ''})")
 
     def _split(self) -> jax.Array:
         self.rng, key = jax.random.split(self.rng)
@@ -143,6 +162,9 @@ class Trainer:
     def warmup(self) -> np.ndarray:
         hp = self.cfg.hp
         obses = self.env.reset()
+        if self.full_resumed:
+            print("warm-up skipped: replay restored from full checkpoint")
+            return obses
         iters = hp.min_mem // hp.n_env
         print(f"warm-up: {iters} vec steps ({hp.min_mem} transitions)")
         t0 = time.time()
@@ -199,12 +221,29 @@ class Trainer:
                           f"eps {float(metrics.epsilon):.3f} loss {float(metrics.loss):.4f}")
             if hp.save_freq and step - last_save >= hp.save_freq:
                 checkpoint.save_all(self.cfg, self.state, self.stats)
+                self._n_saves = getattr(self, "_n_saves", 0) + 1
+                # Full (replay-inclusive) checkpoint every 10th quick save:
+                # the buffer can be GBs, so it rides a coarser cadence.
+                if self._n_saves % 10 == 0:
+                    self._save_full()
                 last_save = step
             if hp.max_total_steps and step * hp.n_env >= hp.max_total_steps:
                 break
         checkpoint.save_all(self.cfg, self.state, self.stats)
+        self._save_full()
         self.env.close()
         self.metrics.close()
+
+    def _save_full(self) -> None:
+        checkpoint.save_full(
+            checkpoint.full_path(self.cfg),
+            (self.state, self.buffer, self.rng),
+            {"step": int(self.state.step),
+             "env_steps": int(self.state.step) * self.cfg.hp.n_env,
+             "rew_mean": self.stats.rew_mean,
+             "len_mean": self.stats.len_mean,
+             "episode_count": self.stats.count},
+        )
 
     def run(self) -> None:
         obses = self.warmup()

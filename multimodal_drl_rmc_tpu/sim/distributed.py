@@ -176,6 +176,9 @@ class DistributedDeviceTrainer:
         )
         self._obs_envs = jax.jit(
             jax.vmap(obs_one), out_shardings=NamedSharding(mesh, P(axis)))
+        # Carry shardings, for re-laying-out a restored checkpoint.
+        self._carry_shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), carry_specs)
 
     def init_carry(self) -> ShardedCarry:
         self.rng, r_env, r_state = jax.random.split(self.rng, 3)
@@ -204,3 +207,30 @@ class DistributedDeviceTrainer:
         for _ in range(train_chunks):
             carry, out = self._train_chunk(carry)
         return carry, out
+
+    # -- lossless, sharding-aware checkpointing --------------------------
+    def save_full(self, carry: ShardedCarry, env_steps: int = 0) -> str:
+        """Persist the entire sharded carry (env states, replay shards incl.
+        PER trees, replicated TrainState, RNG). Arrays gather to host numpy
+        (single-process mesh: every shard is addressable)."""
+        from ..runtime import checkpoint
+
+        path = checkpoint.full_path(self.cfg)
+        checkpoint.save_full(path, carry, {
+            "env_steps": int(env_steps),
+            "step": int(carry.train_state.step),
+        })
+        return path
+
+    def load_full_carry(self):
+        """Restore a full checkpoint and re-lay it out over THIS trainer's
+        mesh (device_put with the carry's NamedShardings — the saved run's
+        mesh need not be this one as long as the env batch divides the dp
+        axis the same way). Returns (carry, meta)."""
+        from ..runtime import checkpoint
+
+        template = self.init_carry()
+        carry, meta = checkpoint.load_full(
+            checkpoint.full_path(self.cfg), template)
+        carry = jax.device_put(carry, self._carry_shardings)
+        return carry, meta

@@ -165,33 +165,10 @@ class DeviceTrainer:
     SAVE_MIN_ITERS = 512        # periodic-save cadence floor (iterations)
     SNAPSHOT_EVERY = 1_000_000  # env steps between step-tagged pack copies
 
-    def init_carry(self) -> Carry:
+    def _fresh_carry(self) -> Carry:
         self.rng, r_env, r_state = jax.random.split(self.rng, 3)
         env_states, obs = self.env.reset(r_env)
         train_state = self.learner.init_state(r_state)
-        rew_mean = 0.0
-        episodes = 0
-        self.resumed = False
-        self.start_env_steps = 0
-        if self.cfg.hp.load:
-            train_state, meta = checkpoint.try_resume(self.cfg, train_state)
-            rew_mean = meta.get("rew_mean", 0.0)
-            episodes = meta.get("episode_count", 0)
-            if meta.get("step", 0):
-                self.resumed = True
-                # Global env-step offset so a resumed run continues the
-                # original step accounting (snapshot tags, tensorboard x
-                # axis, budget) instead of restarting at 0 — which would
-                # re-write _step<N>k_model.pack snapshots with later
-                # weights and corrupt the snapshot-sweep checkpoint
-                # selection. Full-state checkpoints carry env_steps
-                # explicitly; .pack-only resumes derive it from the
-                # learner-update count and the replay ratio.
-                self.start_env_steps = int(meta.get(
-                    "env_steps",
-                    meta["step"] * self.batch // self.k_updates))
-                print(f"resumed device trainer at step {meta['step']} "
-                      f"({self.start_env_steps} env steps)")
         nstep = None
         if self.cfg.hp.n_step > 1:
             m = self.cfg.hp.n_step - 1
@@ -211,9 +188,62 @@ class DeviceTrainer:
             buffer=self.learner.init_buffer(),
             rng=jax.random.fold_in(self.rng, 7),
             ep_ret=jnp.zeros((self.batch,), jnp.float32),
-            rew_mean=jnp.asarray(rew_mean, jnp.float32),
-            episodes=jnp.asarray(float(episodes)),
+            rew_mean=jnp.zeros((), jnp.float32),
+            episodes=jnp.zeros(()),
             nstep=nstep,
+        )
+
+    def init_carry(self) -> Carry:
+        carry = self._fresh_carry()
+        self.resumed = False
+        self.full_resumed = False
+        self.start_env_steps = 0
+        if not self.cfg.hp.load:
+            return carry
+
+        # Resume source: the LOSSLESS full-Carry checkpoint (env states +
+        # replay incl. PER sum tree + RNG + n-step window — bit-identical
+        # continuation, no warm-up refill) vs the lighter TrainState-only
+        # one (2-min cadence). Pick whichever is further along; ties
+        # prefer full.
+        import os
+
+        fp = checkpoint.full_path(self.cfg)
+        sp = checkpoint.state_path(self.cfg)
+        full_steps = -1
+        if os.path.isfile(fp):
+            full_steps = int(checkpoint.peek_meta(fp).get("env_steps", 0))
+        state_steps = -1
+        if os.path.isfile(sp):
+            state_steps = int(checkpoint.peek_meta(sp).get("env_steps", 0))
+
+        if full_steps >= 0 and full_steps >= state_steps:
+            carry, meta = checkpoint.load_full(fp, carry)
+            self.resumed = True
+            self.full_resumed = True
+            self.start_env_steps = int(meta.get("env_steps", 0))
+            print(f"resumed device trainer LOSSLESSLY at "
+                  f"{self.start_env_steps} env steps (full checkpoint)")
+            return carry
+
+        train_state, meta = checkpoint.try_resume(self.cfg, carry.train_state)
+        if meta.get("step", 0):
+            self.resumed = True
+            # Global env-step offset so a resumed run continues the
+            # original step accounting (snapshot tags, tensorboard x axis,
+            # budget) instead of restarting at 0 — which would re-write
+            # _step<N>k_model.pack snapshots with later weights and corrupt
+            # the snapshot-sweep checkpoint selection. State checkpoints
+            # carry env_steps explicitly; .pack-only resumes derive it from
+            # the learner-update count and the replay ratio.
+            self.start_env_steps = int(meta.get(
+                "env_steps", meta["step"] * self.batch // self.k_updates))
+            print(f"resumed device trainer at step {meta['step']} "
+                  f"({self.start_env_steps} env steps)")
+        return carry._replace(
+            train_state=train_state,
+            rew_mean=jnp.asarray(meta.get("rew_mean", 0.0), jnp.float32),
+            episodes=jnp.asarray(float(meta.get("episode_count", 0))),
         )
 
     def run(self, log: bool = True) -> Carry:
@@ -226,12 +256,14 @@ class DeviceTrainer:
         writer = MetricsWriter(cfg.hp.log_dir, run + "_device") \
             if log else None
 
-        warm_iters = max(1, cfg.hp.min_mem // self.batch)
-        done_warm = 0
-        while done_warm < warm_iters:
-            n = min(8, warm_iters - done_warm)
-            carry = self._warm_chunk(carry, n, self.resumed)
-            done_warm += n
+        # Lossless resume restores the replay buffer itself — no refill.
+        if not self.full_resumed:
+            warm_iters = max(1, cfg.hp.min_mem // self.batch)
+            done_warm = 0
+            while done_warm < warm_iters:
+                n = min(8, warm_iters - done_warm)
+                carry = self._warm_chunk(carry, n, self.resumed)
+                done_warm += n
 
         # Budget is GLOBAL env steps (reference train.py:203 semantics:
         # resume continues toward max_total_steps, it does not add a fresh
@@ -272,6 +304,12 @@ class DeviceTrainer:
                     tag = f"_step{genv // se * se // 1000}k"
                     shutil.copyfile(pack, pack.replace("_model.pack",
                                                        f"{tag}_model.pack"))
+                    # Lossless full-Carry checkpoint at the same (coarse)
+                    # cadence: pulling the multi-GB HBM replay to host is
+                    # too slow for the 2-min quick saves, but once per
+                    # SNAPSHOT_EVERY env steps it makes kill+resume
+                    # bit-identical from at most one snapshot back.
+                    self.save_full(carry)
             if writer and (it % max(self.CHUNK, (cfg.hp.log_freq // self.batch)
                                     // self.CHUNK * self.CHUNK or self.CHUNK) == 0):
                 jax.block_until_ready(out["loss"])
@@ -304,6 +342,18 @@ class DeviceTrainer:
                                 self, "env_steps_done",
                                 self.start_env_steps))})
 
+    def save_full(self, carry: Carry) -> None:
+        """Lossless checkpoint: the entire scanned Carry (env states, obs,
+        TrainState, replay buffer incl. PER sum tree, RNG, n-step window)."""
+        checkpoint.save_full(
+            checkpoint.full_path(self.cfg), carry,
+            {"env_steps": int(getattr(self, "env_steps_done",
+                                      self.start_env_steps)),
+             "rew_mean": float(carry.rew_mean),
+             "episode_count": int(carry.episodes),
+             "step": int(carry.train_state.step)},
+        )
+
 
 def train_on_device(cfg: Config, seed: int = 0, batch: int | None = None,
                     replay_ratio: float = 1.0) -> None:
@@ -311,4 +361,5 @@ def train_on_device(cfg: Config, seed: int = 0, batch: int | None = None,
                             replay_ratio=replay_ratio)
     carry = trainer.run()
     trainer.save(carry)
+    trainer.save_full(carry)
     print(f"saved {checkpoint.pack_path(cfg)}")

@@ -117,3 +117,45 @@ def test_distributed_trainer_batched_kernel_matches_vmapped():
         outs[bk] = (float(out["loss"]), float(out["reward"]))
     assert outs[False][0] == pytest.approx(outs[True][0], rel=1e-4)
     assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-4)
+
+
+def test_distributed_trainer_sharded_checkpoint_bit_identical(tmp_path):
+    """Sharding-aware lossless resume on the virtual mesh: save the full
+    sharded carry, restore it into a FRESH trainer (device_put back onto
+    the mesh's NamedShardings), train one more chunk on each branch, and
+    the replicated params, sharded replay and env states match exactly."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from multimodal_drl_rmc_tpu.config import (
+        Config, EnvConfig, HyperParams, ScenarioConfig)
+    from multimodal_drl_rmc_tpu.parallel.mesh import make_mesh
+    from multimodal_drl_rmc_tpu.sim.distributed import DistributedDeviceTrainer
+
+    cfg = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+        hp=HyperParams(algo="PerDuelingDoubleDQNAgent", batch_size=8,
+                       min_mem=8, max_mem=256,
+                       save_dir=str(tmp_path) + "/"),
+    )
+    tr_a = DistributedDeviceTrainer(cfg, make_mesh(4), envs_per_device=1,
+                                    seed=11)
+    carry, _ = tr_a.run(warm_chunks=1, train_chunks=1)
+    tr_a.save_full(carry, env_steps=2 * tr_a.CHUNK * tr_a.batch)
+    cont_a, _ = tr_a._train_chunk(carry)  # uninterrupted branch
+
+    tr_b = DistributedDeviceTrainer(cfg, make_mesh(4), envs_per_device=1,
+                                    seed=77)
+    carry_b, meta = tr_b.load_full_carry()
+    assert meta["env_steps"] == 2 * tr_a.CHUNK * tr_a.batch
+    cont_b, _ = tr_b._train_chunk(carry_b)
+
+    la = jax.tree_util.tree_leaves(
+        (cont_a.train_state, cont_a.buffer, cont_a.env_states, cont_a.rng))
+    lb = jax.tree_util.tree_leaves(
+        (cont_b.train_state, cont_b.buffer, cont_b.env_states, cont_b.rng))
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -50,11 +50,22 @@ def test_trainer_end_to_end(tmp_path):
 
 def test_trainer_resume_restores_step_and_opt_state(tmp_path):
     cfg = tiny_cfg(tmp_path)
-    Trainer(cfg, backend="fake", threaded=False).run()
+    t1 = Trainer(cfg, backend="fake", threaded=False)
+    t1.run()
+    buf_size_1 = int(t1.buffer.size) if hasattr(t1.buffer, "size") \
+        else int(t1.buffer.data.size)
     cfg2 = cfg.replace(hp=HyperParams(**{**cfg.hp.__dict__, "load": True}))
     t2 = Trainer(cfg2, backend="fake", threaded=False)
     assert t2.resume_step >= cfg.hp.max_total_steps
     assert int(t2.state.step) == t2.resume_step
+    # Lossless resume: replay contents + RNG restored from the full
+    # checkpoint, so warm-up refill is skipped.
+    assert t2.full_resumed
+    buf2 = t2.buffer if hasattr(t2.buffer, "size") else t2.buffer.data
+    assert int(buf2.size) == buf_size_1
+    np.testing.assert_array_equal(np.asarray(t2.rng), np.asarray(t1.rng))
+    obses = t2.warmup()
+    assert obses is not None  # refill skipped, env reset only
     # Adam moments restored (non-zero after prior training).
     mu_leaves = [np.asarray(x) for x in
                  __import__("jax").tree_util.tree_leaves(t2.state.opt_state)]
@@ -244,6 +255,63 @@ def test_device_trainer_resume_continues_step_accounting(tmp_path, monkeypatch):
     for p, t in mtimes1.items():
         assert os.path.getmtime(p) == t, \
             f"resume must not overwrite earlier snapshot {p}"
+
+
+@pytest.mark.parametrize("algo,n_step", [("PerDuelingDoubleDQNAgent", 3),
+                                         ("DuelingDoubleDQNAgent", 1)])
+def test_device_trainer_lossless_resume_is_bit_identical(tmp_path, algo, n_step):
+    """Kill + resume from a full-Carry checkpoint continues BIT-IDENTICALLY
+    (SURVEY §7 blueprint: params + opt + step + replay + PER sum tree +
+    RNG + env states; the reference drops replay/RNG, network.py:27-47):
+    training k more supersteps from the restored carry produces exactly
+    the params, replay contents and RNG stream the uninterrupted run does."""
+    import dataclasses
+
+    import jax
+
+    from multimodal_drl_rmc_tpu.sim.train_on_device import DeviceTrainer
+
+    cfg = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+        hp=HyperParams(algo=algo, n_step=n_step, batch_size=8, min_mem=16,
+                       max_mem=256, save_freq=0, log_freq=0, load=False,
+                       save_dir=str(tmp_path / "save") + "/",
+                       log_dir=str(tmp_path / "logs") + "/"),
+    )
+    tr_a = DeviceTrainer(cfg, batch=4, seed=7, replay_ratio=1.0)
+    carry = tr_a.init_carry()
+    carry = tr_a._warm_chunk(carry, 4, False)
+    carry, _ = tr_a._train_chunk(carry)
+    tr_a.env_steps_done = 4 * (4 + tr_a.CHUNK)
+    tr_a.save_full(carry)
+
+    # Uninterrupted branch: two more supersteps.
+    cont_a, _ = tr_a._train_chunk(carry)
+    cont_a, _ = tr_a._train_chunk(cont_a)
+
+    # Killed + resumed branch.
+    cfg_b = cfg.replace(hp=dataclasses.replace(cfg.hp, load=True))
+    tr_b = DeviceTrainer(cfg_b, batch=4, seed=99, replay_ratio=1.0)
+    carry_b = tr_b.init_carry()
+    assert tr_b.full_resumed
+    assert tr_b.start_env_steps == tr_a.env_steps_done
+    cont_b, _ = tr_b._train_chunk(carry_b)
+    cont_b, _ = tr_b._train_chunk(cont_b)
+
+    def tree_equal(a, b):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    tree_equal(cont_a.train_state.params, cont_b.train_state.params)
+    tree_equal(cont_a.train_state.opt_state, cont_b.train_state.opt_state)
+    tree_equal(cont_a.buffer, cont_b.buffer)          # replay + PER tree
+    tree_equal(cont_a.rng, cont_b.rng)                # RNG stream
+    tree_equal(cont_a.env_states, cont_b.env_states)  # sim state
+    if n_step > 1:
+        tree_equal(cont_a.nstep, cont_b.nstep)        # n-step FIFO window
 
 
 @pytest.mark.parametrize("algo", ["C51DuelingDQNAgent", "QrDuelingDQNAgent"])
