@@ -211,16 +211,153 @@ class ThreadVecEnv(VecEnv):
             w._done.wait()
 
 
+class CloudpickleWrapper:
+    """Ship arbitrary callables (closures) across a spawn boundary
+    (reference baselines_wrappers/vec_env.py:163-178)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __getstate__(self):
+        import cloudpickle
+
+        return cloudpickle.dumps(self.fn)
+
+    def __setstate__(self, blob):
+        import pickle
+
+        self.fn = pickle.loads(blob)
+
+    def __call__(self):
+        return self.fn()
+
+
+def _clear_mpi_env_vars() -> dict:
+    """Strip OMPI_*/PMI_* before spawning workers (reference
+    vec_env.py:180-196 — MPI thinks forked children are MPI ranks).
+    Returns the removed vars so the parent can restore them."""
+    import os
+
+    removed = {}
+    for k in list(os.environ):
+        if k.startswith(("OMPI_", "PMI_")):
+            removed[k] = os.environ.pop(k)
+    return removed
+
+
+def _proc_worker(pipe, parent_pipe, wrapped_fn):
+    """Worker-process loop (reference subproc_vec_env.py:7-36, migrated to
+    the gymnasium 5-tuple + auto-reset with info['final_obs'])."""
+    parent_pipe.close()
+    env = wrapped_fn()
+    try:
+        while True:
+            cmd, arg = pipe.recv()
+            if cmd == "step":
+                pipe.send(_auto_reset(env, *env.step(arg)))
+            elif cmd == "reset":
+                obs, _ = env.reset(seed=arg)
+                pipe.send(obs)
+            elif cmd == "get_spaces":
+                pipe.send((env.observation_space, env.action_space))
+            elif cmd == "close":
+                env.close()
+                pipe.send(None)
+                break
+    except (KeyboardInterrupt, EOFError):
+        pass
+    finally:
+        pipe.close()
+
+
+class ProcessVecEnv(VecEnv):
+    """Spawn-context worker processes, one pipe each (reference
+    SubprocVecEnv, subproc_vec_env.py:39-112). Use for backends that hold
+    the GIL — libsumo's in-process stepping and CPU-bound pure-Python envs
+    — where ThreadVecEnv serializes; for the GIL-releasing native C++ sim
+    threads are cheaper (no pickling of obs batches)."""
+
+    def __init__(self, env_fns: Sequence[Callable]):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        self.closed = False
+        self.parent_pipes = []
+        self.procs = []
+        removed = _clear_mpi_env_vars()
+        try:
+            for fn in env_fns:
+                parent, child = ctx.Pipe()
+                proc = ctx.Process(
+                    target=_proc_worker,
+                    args=(child, parent, CloudpickleWrapper(fn)),
+                    daemon=True,
+                )
+                proc.start()
+                child.close()
+                self.parent_pipes.append(parent)
+                self.procs.append(proc)
+        finally:
+            import os
+
+            os.environ.update(removed)
+        self.num_envs = len(self.procs)
+        self.parent_pipes[0].send(("get_spaces", None))
+        self.observation_space, self.action_space = self.parent_pipes[0].recv()
+
+    def _assert_not_closed(self):
+        assert not self.closed, "operation on a closed ProcessVecEnv"
+
+    def reset(self, seed: int | None = None) -> np.ndarray:
+        self._assert_not_closed()
+        for i, pipe in enumerate(self.parent_pipes):
+            pipe.send(("reset", None if seed is None else seed + i))
+        return np.stack([pipe.recv() for pipe in self.parent_pipes])
+
+    def step(self, actions):
+        self._assert_not_closed()
+        for pipe, action in zip(self.parent_pipes, actions):
+            pipe.send(("step", action))
+        results = [pipe.recv() for pipe in self.parent_pipes]
+        obses, rews, terms, truncs, infos = zip(*results)
+        return (
+            np.stack(obses),
+            np.asarray(rews, np.float32),
+            np.asarray(terms, bool),
+            np.asarray(truncs, bool),
+            list(infos),
+        )
+
+    def close(self):
+        if self.closed:
+            return
+        self.closed = True
+        for pipe in self.parent_pipes:
+            try:
+                pipe.send(("close", None))
+                pipe.recv()
+            except (BrokenPipeError, EOFError):
+                pass
+            pipe.close()
+        for proc in self.procs:
+            proc.join(timeout=10)
+            if proc.is_alive():
+                proc.terminate()
+
+
 def make_env(
     env_factory: Callable,
     repeat: int = 0,
     max_episode_steps: int = 0,
     n_env: int = 0,
     threaded: bool = True,
+    vec: str = "auto",
 ):
     """Factory mirroring reference ``make_env`` (dqn/env_make.py:19-29):
     n_env == 0 returns the raw (wrapped) env; otherwise a vec env of
-    Monitor-wrapped envs."""
+    Monitor-wrapped envs. ``vec`` picks the worker model explicitly
+    ('serial' | 'thread' | 'process'); 'auto' keeps the legacy mapping
+    (threaded -> threads, else serial)."""
     from .wrapper import MaxEpisodeStepsWrapper, RepeatActionWrapper
 
     def build():
@@ -233,6 +370,13 @@ def make_env(
 
     if n_env == 0:
         return build()
-    fns = [lambda: Monitor(build()) for _ in range(n_env)]
-    cls = ThreadVecEnv if (threaded and n_env > 1) else SerialVecEnv
+
+    def monitored():
+        return Monitor(build())
+
+    fns = [monitored for _ in range(n_env)]
+    if vec == "auto":
+        vec = "thread" if (threaded and n_env > 1) else "serial"
+    cls = {"serial": SerialVecEnv, "thread": ThreadVecEnv,
+           "process": ProcessVecEnv}[vec]
     return cls(fns)

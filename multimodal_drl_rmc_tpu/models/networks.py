@@ -262,12 +262,49 @@ def init_params(net: nn.Module, obs_size: int, rng: jax.Array):
     return net.init(rng, dummy)
 
 
+_PALLAS_GREEDY_CHOICE: dict = {}
+
+
+def use_pallas_greedy() -> bool:
+    """Fuse the dueling advantage matmul + masked argmax into one Pallas
+    kernel on the TPU action path (ops/pallas/dueling.py; both paths agree
+    bit-for-bit, tests/test_pallas.py / test_networks.py). Override with
+    MDRLRMC_PALLAS_GREEDY=0/1."""
+    if "v" not in _PALLAS_GREEDY_CHOICE:
+        import os
+
+        env = os.environ.get("MDRLRMC_PALLAS_GREEDY")
+        if env is not None:
+            _PALLAS_GREEDY_CHOICE["v"] = env not in ("0", "false", "")
+        else:
+            _PALLAS_GREEDY_CHOICE["v"] = jax.default_backend() not in ("cpu",)
+    return _PALLAS_GREEDY_CHOICE["v"]
+
+
 def greedy_fn(net: nn.Module) -> Callable:
-    """Returns a pure (params, obs[B, D]) -> actions[B] function."""
+    """Returns a pure (params, obs[B, D]) -> actions[B] function.
+
+    Greedy = argmax over ADVANTAGES for dueling heads (reference
+    DuelingDeepQNetwork.actions, network.py:110-117); on TPU the advantage
+    head + argmax run as the fused Pallas kernel (use_pallas_greedy)."""
 
     if isinstance(net, DuelingQNetwork):
-        def fn(params, obs):
-            return jnp.argmax(net.apply(params, obs, method=net.advantages), axis=-1)
+        if use_pallas_greedy():
+            from ..ops.pallas.dueling import dueling_greedy_actions
+
+            interpret = jax.default_backend() == "cpu"
+
+            def fn(params, obs):
+                feat = net.apply(params, obs,
+                                 method=lambda m, x: m.trunk(x))
+                adv = params["params"]["fc_adv"]
+                return dueling_greedy_actions(feat, adv["kernel"],
+                                              adv["bias"],
+                                              interpret=interpret)
+        else:
+            def fn(params, obs):
+                return jnp.argmax(
+                    net.apply(params, obs, method=net.advantages), axis=-1)
     else:
         # QNetwork and DistributionalQNetwork: __call__ is (expected) Q.
         def fn(params, obs):

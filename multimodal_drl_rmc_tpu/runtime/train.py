@@ -54,7 +54,7 @@ def build_config(args) -> Config:
 
 class Trainer:
     def __init__(self, cfg: Config, backend: str = "auto", threaded: bool = True,
-                 replay_ratio: int = 1, seed: int = 0):
+                 replay_ratio: int = 1, seed: int = 0, vec: str = "auto"):
         self.cfg = cfg
         hp = cfg.hp
         self.replay_ratio = max(1, replay_ratio)
@@ -64,7 +64,7 @@ class Trainer:
 
         self.env = make_env(
             factory, repeat=hp.repeat, max_episode_steps=hp.max_episode_steps,
-            n_env=hp.n_env, threaded=threaded,
+            n_env=hp.n_env, threaded=threaded, vec=vec,
         )
         self.learner = make_learner(cfg)
         self.rng = jax.random.PRNGKey(seed)
@@ -299,6 +299,11 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
     parser.add_argument("-n_step", type=int, default=1,
                         help="n-step returns (1 = reference behavior)")
     parser.add_argument("-threaded", type=str2bool, default=True)
+    parser.add_argument("-vec", type=str, default="auto",
+                        choices=("auto", "serial", "thread", "process"),
+                        help="vec-env worker model; 'process' = spawn+pipe "
+                             "workers (reference SubprocVecEnv) for "
+                             "GIL-holding backends like libsumo")
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-profile", type=str, default="",
                         help="write a jax.profiler trace (xprof) to this dir")
@@ -324,7 +329,8 @@ def main(argv=None) -> None:
                             replay_ratio=float(args.replay_ratio))
             return
         Trainer(cfg, backend=args.backend, threaded=args.threaded,
-                replay_ratio=int(round(args.replay_ratio)), seed=args.seed).run()
+                replay_ratio=int(round(args.replay_ratio)), seed=args.seed,
+                vec=args.vec).run()
 
 
 if __name__ == "__main__":

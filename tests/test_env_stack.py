@@ -118,3 +118,53 @@ def test_max_episode_steps_wrapper():
     _, _, term, trunc, info = env.step(0)
     assert trunc and not term
     assert info["TimeLimit.truncated"] is True
+
+
+def _proc_factory():
+    # Runs inside the spawned worker: force CPU before any jax use (the
+    # axon sitecustomize would otherwise grab the TPU in the child).
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    return make_wrapped("train")
+
+
+def test_vec_env_process_workers():
+    """ProcessVecEnv (reference SubprocVecEnv, subproc_vec_env.py:7-129):
+    spawn-context pipe workers run real episodes with auto-reset and the
+    gymnasium 5-tuple — the GIL-free path for libsumo / CPU-bound envs."""
+    from multimodal_drl_rmc_tpu.envs.vector import ProcessVecEnv
+
+    vec = make_env(_proc_factory, n_env=2, vec="process")
+    assert isinstance(vec, ProcessVecEnv)
+    try:
+        obses = vec.reset(seed=7)
+        assert obses.shape == (2, 284)
+        assert vec.action_space.n == 8
+        saw_done = False
+        for _ in range(6):
+            obs, rew, term, trunc, infos = vec.step([3, 5])
+            assert obs.shape == (2, 284)
+            assert rew.shape == (2,) and len(infos) == 2
+            if term[0] or trunc[0]:
+                saw_done = True
+                assert "final_obs" in infos[0]
+                assert "episode" in infos[0]  # Monitor stats
+                break
+        assert saw_done  # 200 s episode = 5 cycles
+    finally:
+        vec.close()
+    assert all(not p.is_alive() for p in vec.procs)
+
+
+def test_vec_env_process_close_idempotent_and_asserts():
+    import pytest as _pytest
+
+    vec = make_env(_proc_factory, n_env=1, vec="process")
+    vec.close()
+    vec.close()  # idempotent
+    with _pytest.raises(AssertionError):
+        vec.step([0])

@@ -99,3 +99,31 @@ def test_hybrid_forward_matches_torch_reference_architecture():
     with torch.no_grad():
         q_torch = tnet(torch.from_numpy(x)).numpy()
     np.testing.assert_allclose(q_jax, q_torch, atol=2e-5)
+
+
+def test_greedy_fn_pallas_gate_matches_argmax():
+    """The production action path with the Pallas dueling kernel gated ON
+    (interpret mode on CPU) picks exactly the actions the plain
+    advantage-argmax picks — same (params, obs) signature, drop-in."""
+    import jax
+
+    from multimodal_drl_rmc_tpu.config import NetworkSpec
+    from multimodal_drl_rmc_tpu.models import networks as N
+
+    spec = NetworkSpec()          # hybrid dueling trunk
+    net = N.build_network(spec, 8)
+    params = N.init_params(net, 284, jax.random.PRNGKey(0))
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (64, 284))
+
+    old = dict(N._PALLAS_GREEDY_CHOICE)
+    try:
+        N._PALLAS_GREEDY_CHOICE.clear()
+        N._PALLAS_GREEDY_CHOICE["v"] = False
+        ref_actions = N.greedy_fn(net)(params, obs)
+        N._PALLAS_GREEDY_CHOICE["v"] = True
+        fused_actions = N.greedy_fn(net)(params, obs)
+    finally:
+        N._PALLAS_GREEDY_CHOICE.clear()
+        N._PALLAS_GREEDY_CHOICE.update(old)
+    np.testing.assert_array_equal(np.asarray(ref_actions),
+                                  np.asarray(fused_actions))
