@@ -149,6 +149,78 @@ def paired_differences(ptable: pd.DataFrame, out: str,
     plt.close(fig)
 
 
+def sensitivity(results_dir: str, out: str,
+                strategy: str = "DQNAgentLong",
+                base: str = "FixedCycleBaseline") -> pd.DataFrame:
+    """Demand-level sensitivity (role of the reference's
+    `sensitivity test.ipynb`): per demand level, the paired Δdelay of the
+    DQN vs the best classical controller — WHERE does learned control win?
+
+    Episodes pair by seed (identical demand draws per seed across
+    strategies), so conditioning on the drawn main/ramp flow gives the
+    per-regime effect directly. Returns the per-level table and writes a
+    two-panel plot (by mainline demand, by on-ramp demand)."""
+    from scipy import stats as _st
+
+    bdf = pd.read_csv(os.path.join(
+        results_dir, f"results_{base}.csv")).set_index("seed")
+    df = pd.read_csv(os.path.join(
+        results_dir, f"results_{strategy}.csv")).set_index("seed")
+    common = df.index.intersection(bdf.index)
+    bdf, df = bdf.loc[common], df.loc[common]
+    d = pd.DataFrame({
+        "main": bdf["main_flow_vph"],
+        "ramp": bdf["on_ramp_flow_vph"],
+        "dDelay": df["avg_time_loss"] - bdf["avg_time_loss"],
+        "dTTT": df["total_travel_time"] - bdf["total_travel_time"],
+    })
+
+    def level_table(key):
+        rows = []
+        for level, g in d.groupby(key):
+            n = len(g)
+            sem = g["dDelay"].std(ddof=1) / n ** 0.5 if n > 1 else 0.0
+            ci = (float(_st.t.ppf(0.975, n - 1)) * sem) if n > 1 else 0.0
+            rows.append({"level": level, "n": n,
+                         "dDelay mean": g["dDelay"].mean(),
+                         "dDelay ±95%": ci,
+                         "win%": 100.0 * (g["dDelay"] < 0).mean()})
+        return pd.DataFrame(rows)
+
+    tables = {"main": level_table("main"), "ramp": level_table("ramp")}
+    label = SHORT.get(strategy, strategy)
+    fig, axes = plt.subplots(1, 2, figsize=(11, 3.6))
+    for ax, (key, title) in zip(axes, (
+            ("main", "by mainline demand (vph)"),
+            ("ramp", "by on-ramp demand (vph)"))):
+        t = tables[key]
+        x = range(len(t))
+        for xi, (_, r) in zip(x, t.iterrows()):
+            c = BETTER if r["dDelay mean"] < 0 else WORSE
+            ax.plot([xi, xi], [r["dDelay mean"] - r["dDelay ±95%"],
+                               r["dDelay mean"] + r["dDelay ±95%"]],
+                    color=c, lw=2, solid_capstyle="round")
+            ax.plot(xi, r["dDelay mean"], "o", color=c, ms=6)
+            ax.annotate(f"{r['win%']:.0f}%  n={int(r['n'])}",
+                        (xi, r["dDelay mean"]), textcoords="offset points",
+                        xytext=(6, 6), fontsize=7, color=INK2)
+        ax.axhline(0, color=INK2, lw=0.8)
+        ax.set_xticks(list(x), [f"{int(v):,}" for v in t["level"]],
+                      fontsize=8, color=INK)
+        ax.set_title(f"Paired Δdelay (s/veh) {title}", fontsize=9.5,
+                     color=INK, loc="left")
+        _style(ax)
+        ax.yaxis.grid(True, color="#e8e7e2", linewidth=0.6)
+        ax.xaxis.grid(False)
+    fig.suptitle(f"{label} vs {SHORT.get(base, base)} — demand sensitivity "
+                 "(negative = DQN better; labels = win rate)", fontsize=11,
+                 color=INK, x=0.01, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.90))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return pd.concat(tables, names=["axis"])
+
+
 def main(results_dir: str = "evaluation/results",
          out_dir: str = "evaluation/results/plots") -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -161,7 +233,13 @@ def main(results_dir: str = "evaluation/results",
         sys.stdout = hold
     strategy_comparison(table, os.path.join(out_dir, "strategy_comparison.png"))
     paired_differences(ptable, os.path.join(out_dir, "paired_differences.png"))
-    print(f"wrote {out_dir}/strategy_comparison.png, paired_differences.png")
+    wrote = ["strategy_comparison.png", "paired_differences.png"]
+    if os.path.isfile(os.path.join(results_dir, "results_DQNAgentLong.csv")):
+        t = sensitivity(results_dir,
+                        os.path.join(out_dir, "sensitivity_demand.png"))
+        print(t.round(2).to_string())
+        wrote.append("sensitivity_demand.png")
+    print(f"wrote {out_dir}: " + ", ".join(wrote))
 
 
 if __name__ == "__main__":
