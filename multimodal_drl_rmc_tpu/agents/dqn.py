@@ -67,7 +67,12 @@ ALGO_FLAGS = {
     # flag is False or the head family ("c51" / "qr").
     "C51DuelingDQNAgent": (True, True, True, "c51"),
     "QrDuelingDQNAgent": (True, True, True, "qr"),
+    # NoisyNet exploration (Fortunato et al. 2018) over the scalar flagship
+    # stack; epsilon-greedy is disabled (spec.noisy via NOISY_ALGOS).
+    "NoisyPerDuelingDQNAgent": (True, True, True, False),
 }
+
+NOISY_ALGOS = {"NoisyPerDuelingDQNAgent"}
 
 
 class DQNLearner(NamedTuple):
@@ -87,16 +92,21 @@ class DQNLearner(NamedTuple):
 
 
 def spec_for_algo(cfg: Config):
-    """Reconcile cfg.net with the algo's flags (dueling head, C51 atoms).
-    Single definition shared by the single-chip and DP learner builders."""
+    """Reconcile cfg.net with the algo's flags (dueling head, C51 atoms,
+    noisy heads). Single definition shared by the single-chip and DP
+    learner builders."""
     double, dueling, per, dist = ALGO_FLAGS[cfg.hp.algo]
     spec = cfg.net
+    noisy = cfg.hp.algo in NOISY_ALGOS or spec.noisy
+    if noisy and dist:
+        raise ValueError("noisy heads are only wired for scalar-Q agents")
     want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
     want_kind = dist if dist else spec.dist_kind
     if spec.dueling != dueling or spec.n_atoms != want_atoms \
-            or spec.dist_kind != want_kind:
+            or spec.dist_kind != want_kind or spec.noisy != noisy:
         spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
-                             "n_atoms": want_atoms, "dist_kind": want_kind})
+                             "n_atoms": want_atoms, "dist_kind": want_kind,
+                             "noisy": noisy})
     return spec, (double, dueling, per, dist)
 
 
@@ -114,25 +124,34 @@ def make_tx(hp) -> optax.GradientTransformation:
 
 def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
                  dist: bool):
-    """(params, target_params, batch, is_weights) -> (loss, |signal|[B]).
+    """(params, target_params, batch, is_weights, rng) -> (loss, |signal|[B]).
     Selects the scalar TD loss or a distributional loss (C51 categorical /
-    QR quantile-Huber); shared by the single-chip and DP learner builders."""
+    QR quantile-Huber); shared by the single-chip and DP learner builders.
+    ``rng`` feeds the NoisyNet 'noise' collection and is ignored otherwise."""
     if dist == "qr":
         taus = (2.0 * jnp.arange(spec.n_atoms) + 1.0) / (2.0 * spec.n_atoms)
         quant_fn = lambda p, x: net.apply(p, x, method=net.quantiles)
 
-        def loss(params, target_params, batch, is_w):
+        def loss(params, target_params, batch, is_w, rng=None):
             return qr_loss(quant_fn, params, target_params, batch,
                            gamma_n, taus, double=double, is_weights=is_w)
     elif dist:
         support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
         logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
 
-        def loss(params, target_params, batch, is_w):
+        def loss(params, target_params, batch, is_w, rng=None):
             return c51_loss(logits_fn, params, target_params, batch,
                             gamma_n, support, double=double, is_weights=is_w)
+    elif spec.noisy:
+        noisy_apply = lambda p, x, key: net.apply(p, x,
+                                                  rngs={"noise": key})
+
+        def loss(params, target_params, batch, is_w, rng=None):
+            return dqn_loss(noisy_apply, params, target_params, batch,
+                            gamma_n, double=double, is_weights=is_w,
+                            rng=rng)
     else:
-        def loss(params, target_params, batch, is_w):
+        def loss(params, target_params, batch, is_w, rng=None):
             return dqn_loss(apply_fn, params, target_params, batch,
                             gamma_n, double=double, is_weights=is_w)
     return loss
@@ -168,17 +187,28 @@ def make_learner(cfg: Config) -> DQNLearner:
             return replay.init_per(hp.max_mem, obs_size, obs_dtype)
         return replay.init(hp.max_mem, obs_size, obs_dtype)
 
-    @jax.jit
-    def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
-        eps = epsilon_schedule(
-            state.step.astype(jnp.float32), hp.n_env,
-            hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
-        )
-        rng_u, rng_a = jax.random.split(rng)
-        greedy_a = greedy(state.params, obs)
-        rand_a = jax.random.randint(rng_a, greedy_a.shape, 0, n_actions)
-        explore = jax.random.uniform(rng_u, greedy_a.shape) <= eps
-        return jnp.where(explore, rand_a, greedy_a)
+    if spec.noisy:
+        # NoisyNet replaces epsilon-greedy: actions are greedy under ONE
+        # sampled noise draw per call (shared across the env batch, the
+        # standard vectorized adaptation of Fortunato et al. 2018).
+        @jax.jit
+        def select_actions(state: TrainState, obs: jax.Array,
+                           rng: jax.Array) -> jax.Array:
+            adv = net.apply(state.params, obs, method=net.advantages,
+                            rngs={"noise": rng})
+            return jnp.argmax(adv, axis=-1)
+    else:
+        @jax.jit
+        def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
+            eps = epsilon_schedule(
+                state.step.astype(jnp.float32), hp.n_env,
+                hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
+            )
+            rng_u, rng_a = jax.random.split(rng)
+            greedy_a = greedy(state.params, obs)
+            rand_a = jax.random.randint(rng_a, greedy_a.shape, 0, n_actions)
+            explore = jax.random.uniform(rng_u, greedy_a.shape) <= eps
+            return jnp.where(explore, rand_a, greedy_a)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def insert(buffer, batch: Batch):
@@ -187,6 +217,11 @@ def make_learner(cfg: Config) -> DQNLearner:
         return replay.insert(buffer, batch)
 
     def _one_step(state: TrainState, buffer, rng: jax.Array):
+        # Only noisy heads consume a loss-side key; non-noisy algos keep
+        # their exact pre-existing RNG stream.
+        r_noise = None
+        if spec.noisy:
+            rng, r_noise = jax.random.split(rng)
         if per:
             beta = beta_schedule(
                 state.step * hp.n_env, hp.per_beta_start, hp.per_beta_end, hp.eps_dec
@@ -198,7 +233,7 @@ def make_learner(cfg: Config) -> DQNLearner:
             is_w = None
 
         def loss_fn(params):
-            return loss_of(params, state.target_params, batch, is_w)
+            return loss_of(params, state.target_params, batch, is_w, r_noise)
 
         (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -229,6 +229,13 @@ class NetworkSpec:
     # the fixed [v_min, v_max] support) or "qr" (quantile regression,
     # Dabney et al. 2017 — no support to calibrate; n_atoms = quantiles).
     dist_kind: str = "c51"
+    # NoisyNet heads (Fortunato et al. 2018, factorized Gaussian noise):
+    # fc_val/fc_adv become NoisyDense and exploration comes from the learned
+    # sigma instead of epsilon-greedy (the learner zeroes epsilon). Mean
+    # weights (mu) keep the plain kernel/bias names, so greedy eval and the
+    # Pallas dueling kernel see the deterministic mean policy unchanged.
+    noisy: bool = False
+    noisy_sigma0: float = 0.5
     # Parameter dtype for compute; bf16 params hurt this tiny net's stability
     # little but matmuls already run via MXU with f32 accumulation.
     dtype: str = "float32"
@@ -253,6 +260,8 @@ ALGO_NAMES = (
     # Rainbow-lite stack (double + dueling + PER; n-step via -n_step).
     "C51DuelingDQNAgent",
     "QrDuelingDQNAgent",
+    # NoisyNet exploration over the scalar flagship stack.
+    "NoisyPerDuelingDQNAgent",
 )
 
 

@@ -113,6 +113,51 @@ def _make_trunk(spec: NetworkSpec) -> nn.Module:
     raise ValueError(f"unknown network kind: {spec.kind}")
 
 
+class NoisyDense(nn.Module):
+    """Factorized-Gaussian NoisyNet layer (Fortunato et al. 2018, §3).
+
+    w = mu_w + sigma_w * (f(eps_in) f(eps_out)^T), f(e) = sign(e)sqrt(|e|),
+    one (eps_in, eps_out) pair per forward via the 'noise' rng collection.
+    WITHOUT a 'noise' rng the layer applies the MEAN weights — that makes
+    greedy eval deterministic and keeps .pack interop: mu keeps the plain
+    kernel/bias param names (sigma rides alongside as kernel_sigma/
+    bias_sigma), so every existing consumer of params['fc_adv']['kernel']
+    (incl. the Pallas dueling kernel) sees the mean policy unchanged."""
+
+    features: int
+    sigma0: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_f = x.shape[-1]
+        bound = 1.0 / (in_f ** 0.5)
+        kernel = self.param(
+            "kernel",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (in_f, self.features))
+        bias = self.param(
+            "bias",
+            lambda k, s: jax.random.uniform(k, s, jnp.float32, -bound, bound),
+            (self.features,))
+        sigma_init = nn.initializers.constant(self.sigma0 / (in_f ** 0.5))
+        kernel_sigma = self.param("kernel_sigma", sigma_init,
+                                  (in_f, self.features))
+        bias_sigma = self.param("bias_sigma", sigma_init, (self.features,))
+        if self.has_rng("noise"):
+            k_in, k_out = jax.random.split(self.make_rng("noise"))
+
+            def f(e):
+                return jnp.sign(e) * jnp.sqrt(jnp.abs(e))
+
+            eps_in = f(jax.random.normal(k_in, (in_f,)))
+            eps_out = f(jax.random.normal(k_out, (self.features,)))
+            kernel = kernel + kernel_sigma * (eps_in[:, None] * eps_out[None, :])
+            bias = bias + bias_sigma * eps_out
+        return (x.astype(self.dtype) @ kernel.astype(self.dtype)
+                + bias.astype(self.dtype))
+
+
 class QNetwork(nn.Module):
     """Single-head Q-network (reference DeepQNetwork, dqn/network.py:50-74)."""
 
@@ -143,8 +188,14 @@ class DuelingQNetwork(nn.Module):
     def setup(self):
         self.trunk = _make_trunk(self.spec)
         dt = _dtype(self.spec)
-        self.fc_val = nn.Dense(1, dtype=dt, name="fc_val")
-        self.fc_adv = nn.Dense(self.n_actions, dtype=dt, name="fc_adv")
+        if self.spec.noisy:
+            self.fc_val = NoisyDense(1, self.spec.noisy_sigma0, dt,
+                                     name="fc_val")
+            self.fc_adv = NoisyDense(self.n_actions, self.spec.noisy_sigma0,
+                                     dt, name="fc_adv")
+        else:
+            self.fc_val = nn.Dense(1, dtype=dt, name="fc_val")
+            self.fc_adv = nn.Dense(self.n_actions, dtype=dt, name="fc_adv")
 
     def __call__(self, x: jax.Array) -> jax.Array:
         feat = self.trunk(x)

@@ -118,6 +118,13 @@ def params_to_torch_state(params, spec: NetworkSpec, dueling: bool | None = None
             # [in, out] -> [out, in]
             out[tkey + ".weight"] = np.ascontiguousarray(kernel.T)
         out[tkey + ".bias"] = bias
+        # NoisyNet heads: mu keeps the plain weight/bias keys (a non-noisy
+        # reader gets the mean policy); sigma rides alongside.
+        if "kernel_sigma" in layer:
+            out[tkey + ".weight_sigma"] = np.ascontiguousarray(
+                np.asarray(layer["kernel_sigma"], np.float32).T)
+            out[tkey + ".bias_sigma"] = np.asarray(
+                layer["bias_sigma"], np.float32)
     return out
 
 
@@ -133,7 +140,13 @@ def torch_state_to_params(state: dict, spec: NetworkSpec, dueling: bool | None =
         node = tree
         for p in fpath[:-1]:
             node = node.setdefault(p, {})
-        node[fpath[-1]] = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(b)}
+        layer = {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(b)}
+        if tkey + ".weight_sigma" in state:
+            layer["kernel_sigma"] = jnp.asarray(
+                np.asarray(state[tkey + ".weight_sigma"], np.float32).T)
+            layer["bias_sigma"] = jnp.asarray(
+                np.asarray(state[tkey + ".bias_sigma"], np.float32))
+        node[fpath[-1]] = layer
     return {"params": tree}
 
 

@@ -70,25 +70,37 @@ def dqn_loss(
     *,
     double: bool,
     is_weights: jax.Array | None = None,
+    rng: jax.Array | None = None,
 ):
     """Returns (scalar loss, |TD errors| [B]) for any DQN-family variant.
 
     ``gamma`` should already be ``gamma ** n_step`` when using n-step returns
     (rewards in the batch are then pre-accumulated n-step returns).
+
+    With ``rng`` set (NoisyNet heads), ``apply_fn`` is (params, x, key) and
+    the online and target networks draw INDEPENDENT noise samples
+    (Fortunato et al. 2018 §3.1 — the double-DQN argmax shares the online
+    sample, riding the fused [s; s'] forward).
     """
-    target_q_next = apply_fn(target_params, batch.next_obs)
+    if rng is not None:
+        k_target, k_online = jax.random.split(rng)
+        fwd_target = lambda p, x: apply_fn(p, x, k_target)
+        fwd_online = lambda p, x: apply_fn(p, x, k_online)
+    else:
+        fwd_target = fwd_online = apply_fn
+    target_q_next = fwd_target(target_params, batch.next_obs)
     target_q_next = jax.lax.stop_gradient(target_q_next)
     b = batch.obs.shape[0]
     if double:
         # One online forward over [s; s'] instead of two half-size passes:
         # doubles the MXU row fill at bs=32 and halves kernel dispatches.
-        both = apply_fn(params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
+        both = fwd_online(params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
         online_q, online_q_next = both[:b], jax.lax.stop_gradient(both[b:])
         targets = td_targets_double(
             online_q_next, target_q_next, batch.reward, batch.done, gamma
         )
     else:
-        online_q = apply_fn(params, batch.obs)
+        online_q = fwd_online(params, batch.obs)
         targets = td_targets_max(target_q_next, batch.reward, batch.done, gamma)
 
     q = q_at_actions(online_q, batch.action)

@@ -110,6 +110,9 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
     def local_train(state: TrainState, buffer, rng: jax.Array):
         my = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(rng, my)
+        r_noise = None
+        if spec.noisy:
+            rng, r_noise = jax.random.split(rng)
         if per:
             beta = beta_schedule(
                 state.step * hp.n_env, hp.per_beta_start, hp.per_beta_end, hp.eps_dec
@@ -121,7 +124,7 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
             is_w = None
 
         def loss_fn(params):
-            return loss_of(params, state.target_params, batch, is_w)
+            return loss_of(params, state.target_params, batch, is_w, r_noise)
 
         (loss, abs_td), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, axis)
@@ -155,16 +158,26 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
             loss=loss, mean_q=jax.lax.pmean(jnp.mean(abs_td), axis), epsilon=eps)
         return new_state, buffer, metrics
 
-    def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
-        eps = epsilon_schedule(
-            state.step.astype(jnp.float32), hp.n_env,
-            hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
-        )
-        rng_u, rng_a = jax.random.split(rng)
-        greedy_a = greedy(state.params, obs)
-        rand_a = jax.random.randint(rng_a, greedy_a.shape, 0, n_actions)
-        explore = jax.random.uniform(rng_u, greedy_a.shape) <= eps
-        return jnp.where(explore, rand_a, greedy_a)
+    if spec.noisy:
+        def select_actions(state: TrainState, obs: jax.Array,
+                           rng: jax.Array) -> jax.Array:
+            # NoisyNet: greedy under one sampled noise draw per call (the
+            # caller already folds in the device index, so shards explore
+            # with independent noise).
+            adv = net.apply(state.params, obs, method=net.advantages,
+                            rngs={"noise": rng})
+            return jnp.argmax(adv, axis=-1)
+    else:
+        def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
+            eps = epsilon_schedule(
+                state.step.astype(jnp.float32), hp.n_env,
+                hp.eps_start, hp.eps_min, hp.eps_dec, hp.eps_dec_exp,
+            )
+            rng_u, rng_a = jax.random.split(rng)
+            greedy_a = greedy(state.params, obs)
+            rand_a = jax.random.randint(rng_a, greedy_a.shape, 0, n_actions)
+            explore = jax.random.uniform(rng_u, greedy_a.shape) <= eps
+            return jnp.where(explore, rand_a, greedy_a)
 
     return LocalFns(
         net=net, tx=tx, local_bs=local_bs, local_cap=local_cap, per=per,

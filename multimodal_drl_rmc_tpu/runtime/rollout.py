@@ -41,10 +41,12 @@ class PolicyRunner:
             n_atoms = packio.peek_head_width(model_path) \
                 // base_cfg.env.n_actions
             kind = "qr" if algo.startswith("Qr") else "c51"
+        noisy = algo.startswith("Noisy")
         if spec.dueling != dueling or spec.n_atoms != n_atoms \
-                or spec.dist_kind != kind:
+                or spec.dist_kind != kind or spec.noisy != noisy:
             spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
-                                 "n_atoms": n_atoms, "dist_kind": kind})
+                                 "n_atoms": n_atoms, "dist_kind": kind,
+                                 "noisy": noisy})
         self.cfg = base_cfg.replace(net=spec)
         if self.cfg.env.obs_variant != obs_variant:
             self.cfg = self.cfg.replace(

@@ -161,3 +161,44 @@ def test_cosine_lr_schedule_decays_updates():
     const = run("const")
     assert cos[0] > 0 and const[3] > 1e-6
     assert cos[3] < 1e-3 * cos[0]  # decayed to ~zero by step 4
+
+
+def test_noisy_net_exploration_and_sigma_learning():
+    """NoisyNet agent: exploration comes from sampled factorized noise
+    (actions vary across rng draws, deterministic per draw), sigma params
+    exist on both heads and move under training, and the mean-weight
+    greedy path is noise-free."""
+    cfg = tiny_config("NoisyPerDuelingDQNAgent")
+    learner = make_learner(cfg)
+    assert learner.net.spec.noisy
+    rng = jax.random.PRNGKey(0)
+    state = learner.init_state(rng)
+    p = state.params["params"]
+    for head in ("fc_val", "fc_adv"):
+        assert "kernel_sigma" in p[head] and "bias_sigma" in p[head]
+
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (64, 8))
+    a1 = learner.select_actions(state, obs, jax.random.PRNGKey(2))
+    a1b = learner.select_actions(state, obs, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a1b))
+    diffs = sum(
+        int((np.asarray(learner.select_actions(state, obs,
+                                               jax.random.PRNGKey(k)))
+             != np.asarray(a1)).sum())
+        for k in range(3, 13))
+    assert diffs > 0, "noise draws should perturb at least some actions"
+
+    # Greedy (mean weights) ignores the rng entirely.
+    g = learner.greedy_actions(state.params, obs)
+    g2 = learner.greedy_actions(state.params, obs)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g2))
+
+    buffer = learner.insert(learner.init_buffer(),
+                            synthetic_bandit_batch(rng))
+    sig0 = np.asarray(p["fc_adv"]["kernel_sigma"]).copy()
+    for i in range(20):
+        state, buffer, m = learner.train_step(
+            state, buffer, jax.random.fold_in(rng, i))
+    assert np.isfinite(float(m.loss))
+    sig1 = np.asarray(state.params["params"]["fc_adv"]["kernel_sigma"])
+    assert float(np.abs(sig1 - sig0).sum()) > 0, "sigma gets gradients"

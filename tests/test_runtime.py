@@ -314,7 +314,8 @@ def test_device_trainer_lossless_resume_is_bit_identical(tmp_path, algo, n_step)
         tree_equal(cont_a.nstep, cont_b.nstep)        # n-step FIFO window
 
 
-@pytest.mark.parametrize("algo", ["C51DuelingDQNAgent", "QrDuelingDQNAgent"])
+@pytest.mark.parametrize("algo", ["C51DuelingDQNAgent", "QrDuelingDQNAgent",
+                                  "NoisyPerDuelingDQNAgent"])
 def test_distributional_policy_runner_roundtrip(tmp_path, algo):
     """Distributional extensions (C51/QR): learner trains, pack round-trips
     via the torch-layout codec, and PolicyRunner rebuilds the 51-atom head
