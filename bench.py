@@ -108,11 +108,19 @@ def bench_torch_cpu_reference() -> float:
 
     for _ in range(5):
         step()
-    t0 = time.perf_counter()
-    for _ in range(TORCH_STEPS):
-        step()
-    dt = time.perf_counter() - t0
-    return TORCH_STEPS * BATCH / dt
+    # The single shared CPU core is sometimes busy (background jobs),
+    # which would deflate the baseline and INFLATE vs_baseline run-to-run
+    # (r01 measured 230x, r02 314x from the same ~350k TPU numerator).
+    # Measure in chunks and keep the FASTEST window — the best estimate of
+    # the uncontended reference throughput, i.e. the conservative ratio.
+    best = 0.0
+    chunk = TORCH_STEPS // 5
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(chunk):
+            step()
+        best = max(best, chunk * BATCH / (time.perf_counter() - t0))
+    return best
 
 
 def main():
