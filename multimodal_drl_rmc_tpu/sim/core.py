@@ -586,12 +586,22 @@ def step_1s(state: SimState) -> SimState:
     return state
 
 
-def step_1s_batched(state: SimState, interpret: bool = False) -> SimState:
+def default_block() -> int:
+    """Env-block size for the batched kernel path (MDRLRMC_BLOCK overrides;
+    8 measured fastest on v5e — see scripts/diag_block16.py)."""
+    import os
+
+    return int(os.environ.get("MDRLRMC_BLOCK", "8"))
+
+
+def step_1s_batched(state: SimState, interpret: bool = False,
+                    block: int | None = None) -> SimState:
     """One sim second for a BATCHED SimState (leading [B] on every leaf),
     feeding the whole batch to ``fused_step_full`` as kernel blocks
-    (BT = 8 envs per grid program) instead of vmapping the single-env
-    kernel into B one-env programs. Same math/RNG stream as vmapped
-    ``step_1s`` on the Pallas path (tests/test_pallas.py asserts parity).
+    (BT = ``block`` envs per grid program) instead of vmapping the
+    single-env kernel into B one-env programs. Same math/RNG stream as
+    vmapped ``step_1s`` on the Pallas path (tests/test_pallas.py asserts
+    parity).
     """
     from ..ops.pallas.sim_step import fused_step_full
 
@@ -610,7 +620,9 @@ def step_1s_batched(state: SimState, interpret: bool = False) -> SimState:
         state.connected.astype(jnp.float32), state.wait, state.depart_t,
         state.head, state.count, state.pending,
         red, state.breakdown, state.t, pen, u_con, rate,
-        substeps=SUBSTEPS, block=8, interpret=interpret,
+        substeps=SUBSTEPS,
+        block=block if block is not None else default_block(),
+        interpret=interpret,
     )
     mean_step_speed = jnp.where(cnt > 0, spd / jnp.maximum(cnt, 1.0), -1.0)
     return state._replace(

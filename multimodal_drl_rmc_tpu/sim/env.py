@@ -242,7 +242,8 @@ def make_env_fns(cfg: EnvConfig):
     return reset_one, obs_one, step_one
 
 
-def make_batched_step(cfg: EnvConfig, interpret: bool | None = None):
+def make_batched_step(cfg: EnvConfig, interpret: bool | None = None,
+                      block: int | None = None):
     """Whole-batch control-cycle step using the BT>1 kernel path.
 
     Equivalent to ``jax.vmap(step_one)`` but the 1 s inner loop calls
@@ -268,7 +269,8 @@ def make_batched_step(cfg: EnvConfig, interpret: bool | None = None):
 
         def body(s, i):
             phase = jnp.where(i < green, GREEN, RED).astype(jnp.int32)
-            return step_1s_batched(s._replace(phase=phase), interpret), None
+            return step_1s_batched(s._replace(phase=phase), interpret,
+                                   block), None
 
         sim, _ = jax.lax.scan(body, sim, jnp.arange(cyc, dtype=jnp.float32))
         m = jax.vmap(lambda s: cycle_metrics(s, cfg.cycle_seconds))(sim)
