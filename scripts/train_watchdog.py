@@ -75,8 +75,12 @@ def with_load_true(cmd: list[str]) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--stall-seconds", type=float, default=300.0,
-                    help="zero-CPU-growth window that declares a hang")
+    ap.add_argument("--stall-seconds", type=float, default=600.0,
+                    help="zero-CPU-growth window that declares a hang. "
+                         "Keep this comfortably above the longest legal "
+                         "zero-CPU wait: a full-Carry checkpoint of a "
+                         "multi-GB replay buffer can block on the tunnel "
+                         "transfer with no CPU growth for minutes")
     ap.add_argument("--poll", type=float, default=15.0)
     ap.add_argument("--max-restarts", type=int, default=20)
     ap.add_argument("--pidfile", default="/tmp/train_watchdog_child.pid")
