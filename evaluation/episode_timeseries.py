@@ -1,10 +1,14 @@
 """Within-episode time-series comparison: DQN vs classical controllers.
 
 The reference's plot corpus includes per-episode detector traces (queue,
-merge speed, occupancy over the hour) from the step CSVs its notebooks
-consume. This generates the equivalent directly: one SEEDED episode per
-strategy (identical demand draw), per-cycle traces of ramp queue, merge
-speed, bottleneck occupancy, and the chosen green time.
+merge speed, occupancy over the hour) under
+``evaluation/results/plots/`` — outputs of its ``evaluatiom.ipynb`` /
+``sensitivity test.ipynb`` notebooks over the step CSVs written by
+``dqn/env_wrap.py:119-144`` (info-dict keys from
+``rl_controller.py:265-292`` and ``baselines.py:54-74``). This generates
+the equivalent directly: one SEEDED episode per strategy (identical
+demand draw), per-cycle traces of ramp queue, merge speed, bottleneck
+occupancy, and the chosen green time.
 
 Usage: python evaluation/episode_timeseries.py [seed] [out.png]
 """
@@ -82,7 +86,13 @@ def main(seed: int = 42,
 
     def binned(rows, key, width_s=40.0):
         """40 s cycle-bin means (baselines log at 1 Hz; the RL agent per
-        cycle): comparable traces, and empty-loop zero speeds drop out."""
+        cycle): comparable traces, and empty-loop zero speeds drop out.
+
+        Every row's sim_time is the END of the interval it covers (the
+        RL agent logs at cycle end t=40,80,...; baselines after each 1 s
+        step), so bins are half-open (t0, t0+width] — bucket by the
+        epsilon-shifted end time, or the DQN trace lands a full cycle
+        late relative to the baselines."""
         buckets: dict = {}
         for r in rows:
             if key not in r:
@@ -90,7 +100,8 @@ def main(seed: int = 42,
             v = float(r[key])
             if "speed" in key and v <= 0.0:
                 continue  # no vehicle over the loop this second
-            buckets.setdefault(int(r["sim_time"] // width_s), []).append(v)
+            b = max(0, int((float(r["sim_time"]) - 1e-6) // width_s))
+            buckets.setdefault(b, []).append(v)
         ts = sorted(buckets)
         return ([(b + 1) * width_s / 60.0 for b in ts],
                 [sum(buckets[b]) / len(buckets[b]) for b in ts])

@@ -221,6 +221,98 @@ def sensitivity(results_dir: str, out: str,
     return pd.concat(tables, names=["axis"])
 
 
+CORE = ("AlwaysGreenBaseline", "FixedCycleBaseline", "AlineaDsBaseline",
+        "PiAlineaDsBaseline", "DQNAgentLong")
+
+
+def distributions(results_dir: str, out: str) -> None:
+    """Per-episode distributions (box + strip) for the core strategies —
+    the spread behind the means (reference's notebook box plots over the
+    50-episode `results_<Strategy>.csv` tables, SURVEY.md §6)."""
+    import numpy as np
+
+    panels = [("total_travel_time", "Total travel time (s)"),
+              ("avg_time_loss", "Avg delay (s/veh)"),
+              ("total_spillback_time_sec", "Spillback time (s)"),
+              ("avg_mainline_speed_mergeArea_km/h", "Merge speed (m/s)")]
+    data = {}
+    for s in CORE:
+        p = os.path.join(results_dir, f"results_{s}.csv")
+        if os.path.isfile(p):
+            data[s] = pd.read_csv(p)
+    fig, axes = plt.subplots(2, 2, figsize=(12, 7))
+    rng = np.random.default_rng(0)
+    for ax, (col, title) in zip(axes.flat, panels):
+        labels, series = [], []
+        for s, df in data.items():
+            if col in df.columns:
+                labels.append(SHORT.get(s, s))
+                series.append(df[col].dropna().to_numpy())
+        bp = ax.boxplot(series, vert=False, showfliers=False,
+                        widths=0.55, patch_artist=True,
+                        medianprops=dict(color=INK, lw=1.2))
+        for patch, s in zip(bp["boxes"], data):
+            c = ACCENT if s.startswith("DQN") else NEUTRAL
+            patch.set(facecolor=c, alpha=0.35, edgecolor=c)
+        for i, (vals, s) in enumerate(zip(series, data)):
+            c = ACCENT if s.startswith("DQN") else NEUTRAL
+            jitter = rng.uniform(-0.14, 0.14, len(vals))
+            ax.plot(vals, i + 1 + jitter, ".", color=c, ms=3, alpha=0.55)
+        ax.set_yticks(range(1, len(labels) + 1), labels, fontsize=8,
+                      color=INK)
+        ax.invert_yaxis()
+        ax.set_title(title, fontsize=9.5, color=INK, loc="left")
+        _style(ax)
+        ax.xaxis.set_major_formatter(matplotlib.ticker.FuncFormatter(_compact))
+    fig.suptitle("Per-episode distributions, seeded evaluation "
+                 "(same demand draws across strategies)", fontsize=11,
+                 color=INK, x=0.01, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.95))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
+def route_breakdown(results_dir: str, out: str) -> None:
+    """Per-route delay/throughput split (Mainline / On-Ramp / Off-Ramp
+    aggregates from parsers.py, reference parsers.py:21-102): where each
+    controller puts the delay — ramp metering trades on-ramp waiting for
+    mainline flow."""
+    routes = ("Mainline", "On-Ramp", "Off-Ramp")
+    rows = []
+    for s in CORE:
+        p = os.path.join(results_dir, f"results_{s}.csv")
+        if not os.path.isfile(p):
+            continue
+        df = pd.read_csv(p)
+        row = {"strategy": s, "label": SHORT.get(s, s)}
+        for r in routes:
+            col = f"{r}_avg_time_loss"
+            if col in df.columns:
+                row[r] = df[col].mean()
+        rows.append(row)
+    t = pd.DataFrame(rows)
+    fig, axes = plt.subplots(1, 3, figsize=(12, 3.4), sharey=True)
+    for ax, r in zip(axes, routes):
+        colors = [ACCENT if s.startswith("DQN") else NEUTRAL
+                  for s in t["strategy"]]
+        y = range(len(t))
+        ax.barh(y, t[r], color=colors, height=0.62)
+        ax.set_yticks(list(y), t["label"], fontsize=8, color=INK)
+        ax.invert_yaxis()
+        ax.set_title(f"{r} avg delay (s/veh)", fontsize=9.5, color=INK,
+                     loc="left")
+        _style(ax)
+        for yi, v in zip(y, t[r]):
+            ax.text(v, yi, " " + _compact(v, None, label=True),
+                    va="center", fontsize=7, color=INK2)
+        ax.set_xlim(0, t[r].max() * 1.22)
+    fig.suptitle("Where the delay goes: per-route average delay by "
+                 "controller", fontsize=11, color=INK, x=0.01, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.93))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
 def main(results_dir: str = "evaluation/results",
          out_dir: str = "evaluation/results/plots") -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -233,7 +325,10 @@ def main(results_dir: str = "evaluation/results",
         sys.stdout = hold
     strategy_comparison(table, os.path.join(out_dir, "strategy_comparison.png"))
     paired_differences(ptable, os.path.join(out_dir, "paired_differences.png"))
-    wrote = ["strategy_comparison.png", "paired_differences.png"]
+    distributions(results_dir, os.path.join(out_dir, "distributions.png"))
+    route_breakdown(results_dir, os.path.join(out_dir, "route_breakdown.png"))
+    wrote = ["strategy_comparison.png", "paired_differences.png",
+             "distributions.png", "route_breakdown.png"]
     if os.path.isfile(os.path.join(results_dir, "results_DQNAgentLong.csv")):
         t = sensitivity(results_dir,
                         os.path.join(out_dir, "sensitivity_demand.png"))

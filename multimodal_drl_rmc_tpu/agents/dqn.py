@@ -100,6 +100,9 @@ def spec_for_algo(cfg: Config):
     noisy = cfg.hp.algo in NOISY_ALGOS or spec.noisy
     if noisy and dist:
         raise ValueError("noisy heads are only wired for scalar-Q agents")
+    if noisy and not dueling:
+        raise ValueError("noisy heads require a dueling network (only "
+                         "DuelingQNetwork builds NoisyDense heads)")
     want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
     want_kind = dist if dist else spec.dist_kind
     if spec.dueling != dueling or spec.n_atoms != want_atoms \
@@ -147,6 +150,9 @@ def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
                                                   rngs={"noise": key})
 
         def loss(params, target_params, batch, is_w, rng=None):
+            if rng is None:
+                raise ValueError("noisy-head loss requires an rng "
+                                 "(independent online/target noise draws)")
             return dqn_loss(noisy_apply, params, target_params, batch,
                             gamma_n, double=double, is_weights=is_w,
                             rng=rng)

@@ -10,8 +10,9 @@ mainline feeding a 4-lane acceleration area joined by a single-lane
 metered on-ramp, with 18 induction loops (1ramp_1x3.add.xml:8-26) and the
 2-phase (G/r) ramp-meter TL program (1ramp_1x3.add.xml:31-35).
 
-``write_sumo_scenario`` emits SUMO plain-XML inputs (.nod/.edg/.con/.tll +
-.add + .sumocfg) from the spec and, when a SUMO toolchain is present,
+``write_sumo_scenario`` emits SUMO plain-XML inputs (.nod/.edg/.con +
+.add — detectors AND the TL program, matching the reference's add.xml —
++ .sumocfg) from the spec and, when a SUMO toolchain is present,
 invokes ``netconvert`` to produce the .net.xml — so the TraCI backend runs
 against generated assets rather than copies of the reference's.
 """

@@ -107,8 +107,10 @@ def load_full(path: str, template_tree):
 
 
 def peek_meta(path: str) -> dict:
-    """Meta dict of a *_state/*_full checkpoint without materializing the
-    payload arrays as device values (they stay numpy)."""
+    """Meta dict of a checkpoint. NOTE: msgpack has no lazy field access —
+    this parses the whole file — so only call it on the small *_state
+    checkpoints; for multi-GB *_full files use load_full (which returns
+    the meta alongside the payload) and parse once."""
     with open(path, "rb") as f:
         return dict(serialization.msgpack_restore(f.read())["meta"])
 

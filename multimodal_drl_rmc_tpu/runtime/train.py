@@ -19,6 +19,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import time
 
 import jax
@@ -49,7 +50,17 @@ def build_config(args) -> Config:
         n_step=args.n_step, lr_schedule=args.lr_schedule,
         lr_end=args.lr_end, lr_decay_steps=args.lr_decay_steps,
     )
-    return Config(env=env, hp=hp, net=network_spec_for_variant(args.obs_variant))
+    net = network_spec_for_variant(args.obs_variant)
+    dist_kw = {}
+    if getattr(args, "n_atoms", 0):
+        dist_kw["n_atoms"] = args.n_atoms
+    if getattr(args, "v_min", None) is not None:
+        dist_kw["v_min"] = args.v_min
+    if getattr(args, "v_max", None) is not None:
+        dist_kw["v_max"] = args.v_max
+    if dist_kw:
+        net = dataclasses.replace(net, **dist_kw)
+    return Config(env=env, hp=hp, net=net)
 
 
 class Trainer:
@@ -307,6 +318,15 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
     parser.add_argument("-seed", type=int, default=0)
     parser.add_argument("-profile", type=str, default="",
                         help="write a jax.profiler trace (xprof) to this dir")
+    # Distributional-head hyperparameters (C51/QR agents only; ignored by
+    # the scalar zoo). 0 keeps the NetworkSpec default (51 atoms,
+    # support [-30, 45] calibrated to the flagship's observed Q range).
+    parser.add_argument("-n_atoms", type=int, default=0,
+                        help="C51 atoms / QR quantiles (0 = spec default)")
+    parser.add_argument("-v_min", type=float, default=None,
+                        help="C51 support lower bound")
+    parser.add_argument("-v_max", type=float, default=None,
+                        help="C51 support upper bound")
 
 
 def main(argv=None) -> None:

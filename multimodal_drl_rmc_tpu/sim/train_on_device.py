@@ -205,26 +205,27 @@ class DeviceTrainer:
         # replay incl. PER sum tree + RNG + n-step window — bit-identical
         # continuation, no warm-up refill) vs the lighter TrainState-only
         # one (2-min cadence). Pick whichever is further along; ties
-        # prefer full.
+        # prefer full. The multi-GB full payload is parsed at most ONCE:
+        # only the small state checkpoint's meta is peeked for the
+        # comparison.
         import os
 
         fp = checkpoint.full_path(self.cfg)
         sp = checkpoint.state_path(self.cfg)
-        full_steps = -1
-        if os.path.isfile(fp):
-            full_steps = int(checkpoint.peek_meta(fp).get("env_steps", 0))
         state_steps = -1
         if os.path.isfile(sp):
             state_steps = int(checkpoint.peek_meta(sp).get("env_steps", 0))
 
-        if full_steps >= 0 and full_steps >= state_steps:
-            carry, meta = checkpoint.load_full(fp, carry)
-            self.resumed = True
-            self.full_resumed = True
-            self.start_env_steps = int(meta.get("env_steps", 0))
-            print(f"resumed device trainer LOSSLESSLY at "
-                  f"{self.start_env_steps} env steps (full checkpoint)")
-            return carry
+        if os.path.isfile(fp):
+            full_carry, meta = checkpoint.load_full(fp, carry)
+            full_steps = int(meta.get("env_steps", 0))
+            if full_steps >= state_steps:
+                self.resumed = True
+                self.full_resumed = True
+                self.start_env_steps = full_steps
+                print(f"resumed device trainer LOSSLESSLY at "
+                      f"{self.start_env_steps} env steps (full checkpoint)")
+                return full_carry
 
         train_state, meta = checkpoint.try_resume(self.cfg, carry.train_state)
         if meta.get("step", 0):
@@ -268,8 +269,11 @@ class DeviceTrainer:
         # Budget is GLOBAL env steps (reference train.py:203 semantics:
         # resume continues toward max_total_steps, it does not add a fresh
         # budget on top — pass a larger -max_total_steps to continue past
-        # the original budget).
-        total_iters = max(0, (cfg.hp.max_total_steps - self.start_env_steps)
+        # the original budget). Fresh runs keep the >=1-iteration floor so
+        # a tiny-budget smoke run still trains instead of silently
+        # exporting an untrained pack.
+        total_iters = max(0 if self.resumed else 1,
+                          (cfg.hp.max_total_steps - self.start_env_steps)
                           // self.batch)
         if self.resumed and total_iters == 0:
             print(f"resumed at {self.start_env_steps} env steps >= budget "
