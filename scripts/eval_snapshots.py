@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--algo", default=None,
                     help="only sweep packs of this algo (required when the "
                          "save dir mixes algos — shared save/ layout)")
+    ap.add_argument("--workdir", default="/tmp/snapshot_eval",
+                    help="scratch dir for the per-snapshot eval CSVs + "
+                         "summary.csv (give concurrent sweeps distinct "
+                         "dirs or they clobber each other)")
     args = ap.parse_args()
 
     packs = sorted(glob.glob(os.path.join(args.save_dir, "*_model.pack")))
@@ -66,7 +70,7 @@ def main() -> None:
                "-n", str(args.n), "--master-seed", str(args.master_seed),
                "--backend", "native", "--obs-variant", args.obs_variant,
                "-d", pack, "--tag", tag,
-               "-o", "/tmp/snapshot_eval"]
+               "-o", args.workdir]
         # Force CPU: drop the axon sitecustomize from PYTHONPATH (with it
         # present, even empty JAX_PLATFORMS selects the TPU and the eval
         # would block behind a concurrent training job).
@@ -77,7 +81,7 @@ def main() -> None:
             sys.stderr.write(proc.stderr[-4000:])
             raise SystemExit(f"evaluate.py failed for {pack} "
                              f"(rc={proc.returncode})")
-        df = pd.read_csv(f"/tmp/snapshot_eval/results_DQNAgent{tag}.csv")
+        df = pd.read_csv(os.path.join(args.workdir, f"results_DQNAgent{tag}.csv"))
         rows.append({
             "pack": os.path.basename(pack),
             "steps": step_of(pack),
@@ -90,7 +94,8 @@ def main() -> None:
               f"thr {rows[-1]['throughput']:,.0f}", flush=True)
     best = min(rows, key=lambda r: r["delay"])
     print("\nbest by delay:", best["pack"])
-    pd.DataFrame(rows).to_csv("/tmp/snapshot_eval/summary.csv", index=False)
+    pd.DataFrame(rows).to_csv(os.path.join(args.workdir, "summary.csv"),
+                              index=False)
 
 
 if __name__ == "__main__":
