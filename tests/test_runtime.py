@@ -342,3 +342,33 @@ def test_distributional_policy_runner_roundtrip(tmp_path, algo):
     info = runner.run_episode(seed=3)
     assert info["l"] == 5
     runner.close()
+
+
+def test_cli_distributional_flags_reach_network_spec():
+    """-n_atoms/-v_min/-v_max flow from the CLI into the reconciled
+    NetworkSpec (sweep surface added in round 3); scalar algos ignore
+    them."""
+    import argparse
+
+    from multimodal_drl_rmc_tpu.agents.dqn import spec_for_algo
+    from multimodal_drl_rmc_tpu.runtime.train import add_common_args, build_config
+
+    def parse(argv):
+        p = argparse.ArgumentParser()
+        add_common_args(p, HyperParams())
+        return build_config(p.parse_args(argv))
+
+    cfg = parse(["-algo", "C51DuelingDQNAgent", "-n_atoms", "31",
+                 "-v_min", "-20", "-v_max", "40"])
+    spec, _ = spec_for_algo(cfg)
+    assert (spec.n_atoms, spec.v_min, spec.v_max) == (31, -20.0, 40.0)
+    assert spec.dist_kind == "c51"
+
+    cfg = parse(["-algo", "QrDuelingDQNAgent", "-n_atoms", "32"])
+    spec, _ = spec_for_algo(cfg)
+    assert spec.n_atoms == 32 and spec.dist_kind == "qr"
+
+    # Scalar algo: distributional overrides don't leak into the head.
+    cfg = parse(["-algo", "PerDuelingDoubleDQNAgent", "-n_atoms", "31"])
+    spec, _ = spec_for_algo(cfg)
+    assert spec.n_atoms == 1
