@@ -313,6 +313,77 @@ def route_breakdown(results_dir: str, out: str) -> None:
     plt.close(fig)
 
 
+def improvement_matrices(results_dir: str, out: str) -> None:
+    """Pairwise %-improvement matrices, one per metric (role of the
+    reference's `plots/improvement_matrices/*.png`, six notebook
+    heatmaps): cell (row, col) = how much better `row` is than `col`,
+    as a percentage of `col`, over the common evaluation seeds (paired
+    draws, so demand variance cancels). Positive = row better."""
+    import numpy as np
+    from matplotlib.colors import LinearSegmentedColormap, TwoSlopeNorm
+
+    metrics = [("total_travel_time", "Total travel time", False),
+               ("avg_time_loss", "Avg delay", False),
+               ("avg_ramp_queue_veh", "Ramp queue", False),
+               ("total_spillback_time_sec", "Spillback time", False),
+               ("avg_mainline_speed_mergeArea_km/h", "Merge speed", True),
+               ("total_co2_mg", "CO2 emissions", False)]
+    data = {}
+    for s in CORE:
+        p = os.path.join(results_dir, f"results_{s}.csv")
+        if os.path.isfile(p):
+            data[s] = pd.read_csv(p).set_index("seed")
+    names = list(data)
+    labels = [SHORT.get(s, s) for s in names]
+    common = None
+    for df in data.values():
+        common = df.index if common is None else common.intersection(df.index)
+
+    # Diverging map through near-white: WORSE -> paper -> BETTER.
+    cmap = LinearSegmentedColormap.from_list(
+        "imp", [WORSE, "#f7f6f2", BETTER])
+    fig, axes = plt.subplots(2, 3, figsize=(13.5, 8.2))
+    for ax, (col, title, higher_better) in zip(axes.flat, metrics):
+        if any(col not in df.columns for df in data.values()):
+            ax.set_visible(False)
+            continue
+        means = np.array([data[s].loc[common, col].mean() for s in names])
+        n = len(names)
+        m = np.zeros((n, n))
+        for i in range(n):
+            for j in range(n):
+                if i == j or means[j] == 0:
+                    continue
+                delta = (means[i] - means[j]) if higher_better \
+                    else (means[j] - means[i])
+                m[i, j] = 100.0 * delta / abs(means[j])
+        lim = max(1.0, np.abs(m).max())
+        ax.imshow(m, cmap=cmap, norm=TwoSlopeNorm(0.0, -lim, lim),
+                  aspect="auto")
+        for i in range(n):
+            for j in range(n):
+                if i == j:
+                    ax.text(j, i, "—", ha="center", va="center",
+                            fontsize=7, color=INK2)
+                    continue
+                ax.text(j, i, f"{m[i, j]:+.1f}", ha="center", va="center",
+                        fontsize=7,
+                        color=INK if abs(m[i, j]) < 0.7 * lim else "#ffffff")
+        ax.set_xticks(range(n), labels, fontsize=7, color=INK,
+                      rotation=30, ha="right")
+        ax.set_yticks(range(n), labels, fontsize=7, color=INK)
+        ax.set_title(title, fontsize=9.5, color=INK, loc="left")
+        ax.spines[:].set_visible(False)
+        ax.tick_params(length=0)
+    fig.suptitle("Pairwise improvement matrices — % improvement of row "
+                 "over column (positive = row better; paired seeds, "
+                 "native backend)", fontsize=11, color=INK, x=0.01,
+                 ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.95))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
 def main(results_dir: str = "evaluation/results",
          out_dir: str = "evaluation/results/plots") -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -327,8 +398,11 @@ def main(results_dir: str = "evaluation/results",
     paired_differences(ptable, os.path.join(out_dir, "paired_differences.png"))
     distributions(results_dir, os.path.join(out_dir, "distributions.png"))
     route_breakdown(results_dir, os.path.join(out_dir, "route_breakdown.png"))
+    improvement_matrices(
+        results_dir, os.path.join(out_dir, "improvement_matrices.png"))
     wrote = ["strategy_comparison.png", "paired_differences.png",
-             "distributions.png", "route_breakdown.png"]
+             "distributions.png", "route_breakdown.png",
+             "improvement_matrices.png"]
     if os.path.isfile(os.path.join(results_dir, "results_DQNAgentLong.csv")):
         t = sensitivity(results_dir,
                         os.path.join(out_dir, "sensitivity_demand.png"))
