@@ -384,6 +384,78 @@ def improvement_matrices(results_dir: str, out: str) -> None:
     plt.close(fig)
 
 
+def experiment_conditions(results_dir: str, out: str) -> None:
+    """Drawn evaluation conditions (role of the reference's
+    `plots/distributions/{distribution_of_experiment_conditions,
+    joint_distribution_of_demand_scenarios}.png`): the marginal draw
+    counts of each demand level + CV penetration, and the joint
+    main×ramp demand grid — what mix of regimes the seeded evaluation
+    actually covered. Reads one strategy's CSV (identical draws across
+    strategies by construction, seed = master+i)."""
+    import numpy as np
+
+    p = os.path.join(results_dir, "results_FixedCycleBaseline.csv")
+    if not os.path.isfile(p):
+        return
+    df = pd.read_csv(p)
+    fig = plt.figure(figsize=(12.5, 3.6))
+    gs = fig.add_gridspec(1, 4, width_ratios=(1, 1, 1, 1.25))
+    marg = [("main_flow_vph", "Mainline demand (vph)"),
+            ("on_ramp_flow_vph", "On-ramp demand (vph)"),
+            ("off_ramp_flow_vph", "Off-ramp demand (vph)")]
+    for k, (col, title) in enumerate(marg):
+        ax = fig.add_subplot(gs[0, k])
+        counts = df[col].value_counts().sort_index()
+        x = range(len(counts))
+        ax.bar(x, counts.values, color=ACCENT, width=0.62)
+        ax.set_xticks(list(x), [f"{int(v):,}" for v in counts.index],
+                      fontsize=7, color=INK, rotation=30, ha="right")
+        ax.set_title(title, fontsize=9.5, color=INK, loc="left")
+        _style(ax)
+        ax.xaxis.grid(False)
+        ax.yaxis.grid(True, color="#e8e7e2", linewidth=0.6)
+        for xi, v in zip(x, counts.values):
+            ax.text(xi, v, str(int(v)), ha="center", va="bottom",
+                    fontsize=7, color=INK2)
+    # Joint main x ramp draw grid with penetration overlaid as text.
+    ax = fig.add_subplot(gs[0, 3])
+    mains = sorted(df["main_flow_vph"].unique())
+    ramps = sorted(df["on_ramp_flow_vph"].unique())
+    grid = np.zeros((len(ramps), len(mains)))
+    for _, r in df.iterrows():
+        grid[ramps.index(r["on_ramp_flow_vph"]),
+             mains.index(r["main_flow_vph"])] += 1
+    from matplotlib.colors import LinearSegmentedColormap
+    cmap = LinearSegmentedColormap.from_list("seq", ["#f7f6f2", ACCENT])
+    ax.imshow(grid, cmap=cmap, aspect="auto", origin="lower")
+    for i in range(len(ramps)):
+        for j in range(len(mains)):
+            if grid[i, j]:
+                ax.text(j, i, str(int(grid[i, j])), ha="center",
+                        va="center", fontsize=7,
+                        color="#ffffff" if grid[i, j] > 0.7 * grid.max()
+                        else INK)
+    ax.set_xticks(range(len(mains)), [f"{int(v):,}" for v in mains],
+                  fontsize=7, color=INK, rotation=30, ha="right")
+    ax.set_yticks(range(len(ramps)), [f"{int(v):,}" for v in ramps],
+                  fontsize=7, color=INK)
+    ax.set_title("Joint draws: main × on-ramp", fontsize=9.5, color=INK,
+                 loc="left")
+    ax.set_xlabel("mainline (vph)", fontsize=7.5, color=INK2)
+    ax.set_ylabel("on-ramp (vph)", fontsize=7.5, color=INK2)
+    ax.spines[:].set_visible(False)
+    ax.tick_params(length=0)
+    pen = df["con_penetration_rate"]
+    fig.suptitle("Evaluation conditions: demand draws over "
+                 f"{len(df)} seeded episodes (CV penetration "
+                 f"{pen.min():.2f}–{pen.max():.2f}, "
+                 f"median {pen.median():.2f})", fontsize=11, color=INK,
+                 x=0.01, ha="left")
+    fig.tight_layout(rect=(0, 0, 1, 0.92))
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+
+
 def main(results_dir: str = "evaluation/results",
          out_dir: str = "evaluation/results/plots") -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -400,9 +472,11 @@ def main(results_dir: str = "evaluation/results",
     route_breakdown(results_dir, os.path.join(out_dir, "route_breakdown.png"))
     improvement_matrices(
         results_dir, os.path.join(out_dir, "improvement_matrices.png"))
+    experiment_conditions(
+        results_dir, os.path.join(out_dir, "experiment_conditions.png"))
     wrote = ["strategy_comparison.png", "paired_differences.png",
              "distributions.png", "route_breakdown.png",
-             "improvement_matrices.png"]
+             "improvement_matrices.png", "experiment_conditions.png"]
     if os.path.isfile(os.path.join(results_dir, "results_DQNAgentLong.csv")):
         t = sensitivity(results_dir,
                         os.path.join(out_dir, "sensitivity_demand.png"))
