@@ -95,8 +95,72 @@ def paired(results_dir: str = "evaluation/results",
     return table
 
 
+def seeds(results_dir: str = "evaluation/results",
+          base: str = "FixedCycleBaseline") -> pd.DataFrame:
+    """Multi-seed flagship robustness table (VERDICT r2 item 2): one row
+    per flagship training seed (results_DQNAgentLong.csv = the original
+    run, results_DQNAgentSeed<k>.csv = the re-trains), with per-seed
+    evaluation means and the paired delta vs ``base``, then the
+    cross-training-seed mean ± spread (min..max) — the honest form of
+    the headline claim."""
+    import glob
+    import re
+
+    from scipy import stats as _st
+
+    bdf = pd.read_csv(
+        os.path.join(results_dir, f"results_{base}.csv")).set_index("seed")
+    runs = {}
+    long_p = os.path.join(results_dir, "results_DQNAgentLong.csv")
+    if os.path.isfile(long_p):
+        runs["s0 (orig)"] = long_p
+    for p in sorted(glob.glob(
+            os.path.join(results_dir, "results_DQNAgentSeed*.csv"))):
+        k = re.search(r"Seed(\d+)", p).group(1)
+        runs[f"s{k}"] = p
+    rows = []
+    for name, p in runs.items():
+        df = pd.read_csv(p).set_index("seed")
+        common = df.index.intersection(bdf.index)
+        d_delay = (df.loc[common, "avg_time_loss"]
+                   - bdf.loc[common, "avg_time_loss"])
+        d_ttt = (df.loc[common, "total_travel_time"]
+                 - bdf.loc[common, "total_travel_time"])
+        tcrit = float(_st.t.ppf(0.975, len(common) - 1))
+        rows.append({
+            "train seed": name, "episodes": len(common),
+            "TTT (s)": df.loc[common, "total_travel_time"].mean(),
+            "Delay (s/veh)": df.loc[common, "avg_time_loss"].mean(),
+            "Spillback (s)": df.loc[common, "total_spillback_time_sec"].mean(),
+            "Merge speed": df.loc[common,
+                                  "avg_mainline_speed_mergeArea_km/h"].mean(),
+            "Throughput": df.loc[common, "total_throughput"].mean(),
+            "dDelay vs base": d_delay.mean(),
+            "dDelay ±95%": tcrit * d_delay.std(ddof=1) / len(common) ** 0.5,
+            "dDelay win%": 100.0 * (d_delay < 0).mean(),
+            "dTTT vs base": d_ttt.mean(),
+            "dTTT ±95%": tcrit * d_ttt.std(ddof=1) / len(common) ** 0.5,
+        })
+    t = pd.DataFrame(rows)
+    if t.empty:
+        print("no flagship seed results found")
+        return t
+    print(f"\nFlagship across training seeds (paired vs {base}, "
+          "negative = better):")
+    print(t.round(2).to_string(index=False))
+    num = t.drop(columns=["train seed", "episodes"])
+    agg = pd.DataFrame({"mean": num.mean(), "min": num.min(),
+                        "max": num.max()})
+    print("\nCross-seed mean and spread:")
+    print(agg.round(2).to_string())
+    return t
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
+    do_seeds = "--seeds" in args
+    if do_seeds:
+        args.remove("--seeds")
     do_paired = "--paired" in args
     base = "FixedCycleBaseline"
     if do_paired:
@@ -110,3 +174,5 @@ if __name__ == "__main__":
     main(*args)
     if do_paired:
         paired(*args, base=base)
+    if do_seeds:
+        seeds(*args, base=base)
