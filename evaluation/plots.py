@@ -116,6 +116,7 @@ def strategy_comparison(table: pd.DataFrame, out: str) -> None:
     fig.tight_layout(rect=(0, 0, 1, 0.96))
     fig.savefig(out, dpi=150)
     plt.close(fig)
+    return out
 
 
 def paired_differences(ptable: pd.DataFrame, out: str,
@@ -147,6 +148,7 @@ def paired_differences(ptable: pd.DataFrame, out: str,
     fig.tight_layout(rect=(0, 0, 1, 0.93))
     fig.savefig(out, dpi=150)
     plt.close(fig)
+    return out
 
 
 def sensitivity(results_dir: str, out: str,
@@ -270,6 +272,7 @@ def distributions(results_dir: str, out: str) -> None:
     fig.tight_layout(rect=(0, 0, 1, 0.95))
     fig.savefig(out, dpi=150)
     plt.close(fig)
+    return out
 
 
 def route_breakdown(results_dir: str, out: str) -> None:
@@ -311,6 +314,7 @@ def route_breakdown(results_dir: str, out: str) -> None:
     fig.tight_layout(rect=(0, 0, 1, 0.93))
     fig.savefig(out, dpi=150)
     plt.close(fig)
+    return out
 
 
 def improvement_matrices(results_dir: str, out: str) -> None:
@@ -333,6 +337,8 @@ def improvement_matrices(results_dir: str, out: str) -> None:
         p = os.path.join(results_dir, f"results_{s}.csv")
         if os.path.isfile(p):
             data[s] = pd.read_csv(p).set_index("seed")
+    if len(data) < 2:   # pairwise matrices need at least two strategies
+        return None
     names = list(data)
     labels = [SHORT.get(s, s) for s in names]
     common = None
@@ -382,6 +388,7 @@ def improvement_matrices(results_dir: str, out: str) -> None:
     fig.tight_layout(rect=(0, 0, 1, 0.95))
     fig.savefig(out, dpi=150)
     plt.close(fig)
+    return out
 
 
 def experiment_conditions(results_dir: str, out: str) -> None:
@@ -421,10 +428,9 @@ def experiment_conditions(results_dir: str, out: str) -> None:
     ax = fig.add_subplot(gs[0, 3])
     mains = sorted(df["main_flow_vph"].unique())
     ramps = sorted(df["on_ramp_flow_vph"].unique())
-    grid = np.zeros((len(ramps), len(mains)))
-    for _, r in df.iterrows():
-        grid[ramps.index(r["on_ramp_flow_vph"]),
-             mains.index(r["main_flow_vph"])] += 1
+    grid = (pd.crosstab(df["on_ramp_flow_vph"], df["main_flow_vph"])
+            .reindex(index=ramps, columns=mains, fill_value=0)
+            .to_numpy(dtype=float))
     from matplotlib.colors import LinearSegmentedColormap
     cmap = LinearSegmentedColormap.from_list("seq", ["#f7f6f2", ACCENT])
     ax.imshow(grid, cmap=cmap, aspect="auto", origin="lower")
@@ -454,6 +460,7 @@ def experiment_conditions(results_dir: str, out: str) -> None:
     fig.tight_layout(rect=(0, 0, 1, 0.92))
     fig.savefig(out, dpi=150)
     plt.close(fig)
+    return out
 
 
 def main(results_dir: str = "evaluation/results",
@@ -466,23 +473,28 @@ def main(results_dir: str = "evaluation/results",
     finally:
         sys.stdout.close()
         sys.stdout = hold
-    strategy_comparison(table, os.path.join(out_dir, "strategy_comparison.png"))
-    paired_differences(ptable, os.path.join(out_dir, "paired_differences.png"))
-    distributions(results_dir, os.path.join(out_dir, "distributions.png"))
-    route_breakdown(results_dir, os.path.join(out_dir, "route_breakdown.png"))
-    improvement_matrices(
-        results_dir, os.path.join(out_dir, "improvement_matrices.png"))
-    experiment_conditions(
-        results_dir, os.path.join(out_dir, "experiment_conditions.png"))
-    wrote = ["strategy_comparison.png", "paired_differences.png",
-             "distributions.png", "route_breakdown.png",
-             "improvement_matrices.png", "experiment_conditions.png"]
+    # Each plot function returns the written path, or None when its
+    # inputs are absent — report only what actually landed on disk.
+    wrote = [
+        strategy_comparison(table,
+                            os.path.join(out_dir, "strategy_comparison.png")),
+        paired_differences(ptable,
+                           os.path.join(out_dir, "paired_differences.png")),
+        distributions(results_dir, os.path.join(out_dir, "distributions.png")),
+        route_breakdown(results_dir,
+                        os.path.join(out_dir, "route_breakdown.png")),
+        improvement_matrices(
+            results_dir, os.path.join(out_dir, "improvement_matrices.png")),
+        experiment_conditions(
+            results_dir, os.path.join(out_dir, "experiment_conditions.png")),
+    ]
     if os.path.isfile(os.path.join(results_dir, "results_DQNAgentLong.csv")):
         t = sensitivity(results_dir,
                         os.path.join(out_dir, "sensitivity_demand.png"))
         print(t.round(2).to_string())
-        wrote.append("sensitivity_demand.png")
-    print(f"wrote {out_dir}: " + ", ".join(wrote))
+        wrote.append(os.path.join(out_dir, "sensitivity_demand.png"))
+    names = ", ".join(os.path.basename(w) for w in wrote if w)
+    print(f"wrote {out_dir}: {names}")
 
 
 if __name__ == "__main__":

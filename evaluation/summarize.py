@@ -55,6 +55,22 @@ def main(results_dir: str = "evaluation/results") -> pd.DataFrame:
     return table
 
 
+def _paired_deltas(df: pd.DataFrame, bdf: pd.DataFrame, col: str):
+    """(mean, t-CI half-width, win%) of per-seed ``df-bdf`` deltas on the
+    common eval seeds, or None when fewer than 2 seeds overlap. Student-t
+    critical value, not 1.96: at typical n=20-50 episodes the normal value
+    is anti-conservative for a paired CI (ADVICE r2)."""
+    from scipy import stats as _st
+
+    common = df.index.intersection(bdf.index)
+    if len(common) < 2:
+        return None
+    d = df.loc[common, col] - bdf.loc[common, col]
+    tcrit = float(_st.t.ppf(0.975, len(common) - 1))
+    sem = d.std(ddof=1) / len(d) ** 0.5
+    return d.mean(), tcrit * sem, 100.0 * (d < 0).mean()
+
+
 def paired(results_dir: str = "evaluation/results",
            base: str = "FixedCycleBaseline") -> pd.DataFrame:
     """Per-seed paired differences vs ``base`` (negative = better than base
@@ -72,21 +88,17 @@ def paired(results_dir: str = "evaluation/results",
         if s == base:
             continue
         df = pd.read_csv(path).set_index("seed")
-        common = df.index.intersection(bdf.index)
-        if len(common) < 2:
+        stats3 = {label: _paired_deltas(df, bdf, col)
+                  for col, label in (("total_travel_time", "dTTT"),
+                                     ("avg_time_loss", "dDelay"))}
+        if any(v is None for v in stats3.values()):
             continue
-        row = {"strategy": s, "n": len(common)}
-        # Student-t critical value, not 1.96: at typical n=20-50 episodes
-        # the normal value is anti-conservative for a paired CI.
-        from scipy import stats as _st
-        tcrit = float(_st.t.ppf(0.975, len(common) - 1))
-        for col, label in (("total_travel_time", "dTTT"),
-                           ("avg_time_loss", "dDelay")):
-            d = df.loc[common, col] - bdf.loc[common, col]
-            sem = d.std(ddof=1) / len(d) ** 0.5
-            row[f"{label} mean"] = d.mean()
-            row[f"{label} ±95%"] = tcrit * sem
-            row[f"{label} win%"] = 100.0 * (d < 0).mean()
+        row = {"strategy": s,
+               "n": len(df.index.intersection(bdf.index))}
+        for label, (mean, ci, win) in stats3.items():
+            row[f"{label} mean"] = mean
+            row[f"{label} ±95%"] = ci
+            row[f"{label} win%"] = win
         rows.append(row)
     table = pd.DataFrame(rows)
     print(f"\nPaired per-seed differences vs {base} "
@@ -106,27 +118,35 @@ def seeds(results_dir: str = "evaluation/results",
     import glob
     import re
 
-    from scipy import stats as _st
-
-    bdf = pd.read_csv(
-        os.path.join(results_dir, f"results_{base}.csv")).set_index("seed")
+    base_p = os.path.join(results_dir, f"results_{base}.csv")
+    if not os.path.isfile(base_p):
+        raise SystemExit(f"no results for base strategy {base}")
+    bdf = pd.read_csv(base_p).set_index("seed")
     runs = {}
     long_p = os.path.join(results_dir, "results_DQNAgentLong.csv")
     if os.path.isfile(long_p):
         runs["s0 (orig)"] = long_p
-    for p in sorted(glob.glob(
-            os.path.join(results_dir, "results_DQNAgentSeed*.csv"))):
-        k = re.search(r"Seed(\d+)", p).group(1)
+    # Flagship re-train rows ONLY: the stem must be exactly
+    # DQNAgentSeed<k> — tagged ablations like DQNAgentSeed2Pen50 must not
+    # glob-collide with (and silently overwrite) the real seed rows.
+    matches = []
+    for p in glob.glob(os.path.join(results_dir,
+                                    "results_DQNAgentSeed*.csv")):
+        m = re.fullmatch(r"results_DQNAgentSeed(\d+)\.csv",
+                         os.path.basename(p))
+        if m:
+            matches.append((int(m.group(1)), p))
+    for k, p in sorted(matches):
         runs[f"s{k}"] = p
     rows = []
     for name, p in runs.items():
         df = pd.read_csv(p).set_index("seed")
         common = df.index.intersection(bdf.index)
-        d_delay = (df.loc[common, "avg_time_loss"]
-                   - bdf.loc[common, "avg_time_loss"])
-        d_ttt = (df.loc[common, "total_travel_time"]
-                 - bdf.loc[common, "total_travel_time"])
-        tcrit = float(_st.t.ppf(0.975, len(common) - 1))
+        delay = _paired_deltas(df, bdf, "avg_time_loss")
+        ttt = _paired_deltas(df, bdf, "total_travel_time")
+        if delay is None or ttt is None:
+            print(f"skipping {name}: <2 eval seeds in common with {base}")
+            continue
         rows.append({
             "train seed": name, "episodes": len(common),
             "TTT (s)": df.loc[common, "total_travel_time"].mean(),
@@ -135,11 +155,9 @@ def seeds(results_dir: str = "evaluation/results",
             "Merge speed": df.loc[common,
                                   "avg_mainline_speed_mergeArea_km/h"].mean(),
             "Throughput": df.loc[common, "total_throughput"].mean(),
-            "dDelay vs base": d_delay.mean(),
-            "dDelay ±95%": tcrit * d_delay.std(ddof=1) / len(common) ** 0.5,
-            "dDelay win%": 100.0 * (d_delay < 0).mean(),
-            "dTTT vs base": d_ttt.mean(),
-            "dTTT ±95%": tcrit * d_ttt.std(ddof=1) / len(common) ** 0.5,
+            "dDelay vs base": delay[0], "dDelay ±95%": delay[1],
+            "dDelay win%": delay[2],
+            "dTTT vs base": ttt[0], "dTTT ±95%": ttt[1],
         })
     t = pd.DataFrame(rows)
     if t.empty:

@@ -107,6 +107,34 @@ def test_seeds_table_collects_flagship_runs(results_dir, capsys):
     assert "DQNAgent" not in set(table["train seed"])
 
 
+def test_seeds_ignores_tagged_variants_and_sorts_numerically(results_dir,
+                                                             capsys):
+    _write(results_dir, "DQNAgentSeed2", delay_shift=-2.0)
+    _write(results_dir, "DQNAgentSeed10", delay_shift=-1.0)
+    # Glob-matches results_DQNAgentSeed*.csv but is NOT a flagship seed
+    # row; must not overwrite the real seed-2 row.
+    _write(results_dir, "DQNAgentSeed2Pen50", delay_shift=9.0)
+    table = summarize.seeds(results_dir)
+    capsys.readouterr()
+    assert list(table["train seed"]) == ["s2", "s10"]
+    t = table.set_index("train seed")
+    assert t.loc["s2", "dDelay vs base"] == pytest.approx(-2.0)
+
+
+def test_seeds_skips_short_overlap_and_missing_base(results_dir, tmp_path,
+                                                    capsys):
+    _write(results_dir, "DQNAgentSeed1", delay_shift=-1.0)
+    _write(results_dir, "DQNAgentSeed2", seeds=(90, 91, 92, 93))
+    table = summarize.seeds(results_dir)
+    out = capsys.readouterr().out
+    assert list(table["train seed"]) == ["s1"]  # s2: no common seeds
+    assert "skipping s2" in out
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no results for base"):
+        summarize.seeds(str(empty))
+
+
 def test_seeds_empty_dir_is_graceful(tmp_path, capsys):
     _write(str(tmp_path), "FixedCycleBaseline")
     table = summarize.seeds(str(tmp_path))
