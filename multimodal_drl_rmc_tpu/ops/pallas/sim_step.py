@@ -20,6 +20,15 @@ Layout notes:
   * the suffix min runs as log2(BINS) shift-mask-select rounds;
   * no argmax/gather/scatter anywhere — everything is compare/select/
     reduce, the VPU-native subset.
+
+Env-block (BT) ceiling — measured on v5e (scripts/diag_block16.py):
+BT=8 fits the 16 MiB scoped-VMEM budget (~14.3 MiB working set); BT=16
+needs 28.58 MiB and BT=32 needs 57.19 MiB, so both fail AOT with a
+scoped-VMEM stack OOM (NOT a Mosaic lowering bug — the per-program
+working set scales linearly with BT: ~21 live [BT, C, N] f32 planes plus
+the one-hot [BT, N, BINS] tensor). BT=8 is therefore the default
+(``sim.core.default_block``); ``--xla_tpu_scoped_vmem_limit_kib`` can
+raise the budget at the cost of double-buffering headroom.
 """
 
 from __future__ import annotations
