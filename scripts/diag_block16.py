@@ -31,7 +31,11 @@ def main(batch: int = 256) -> None:
             import multimodal_drl_rmc_tpu.sim.env as senv
 
             denv = DeviceRampEnv(env, batch)
-            step = jax.jit(senv.make_batched_step(env, block=block))
+            # Donate the env-state buffers: the training loop runs this
+            # step donated (in-place HBM update); without donation every
+            # call pays a full state copy (~135 vs ~76 ms/cycle at B=256).
+            step = jax.jit(senv.make_batched_step(env, block=block),
+                           donate_argnums=(0,))
             states, obs = denv.reset(jax.random.PRNGKey(0))
             actions = jnp.zeros((batch,), jnp.int32)
             t0 = time.perf_counter()
