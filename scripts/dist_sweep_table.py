@@ -1,0 +1,52 @@
+"""Consolidate the NoisyNet + distributional-sweep snapshot evaluations
+into one markdown table (VERDICT r2 item 7 closure evidence).
+
+Reads each config's ``sweep_summary.csv`` (written by
+scripts/eval_dist_sweep.sh -> scripts/eval_snapshots.py: 20 seeded
+episodes per checkpoint, native backend), picks the eval-best checkpoint
+by delay (never by training reward, CLAUDE.md), and prints a markdown
+table sorted by delay. Run on CPU: JAX not needed.
+
+Usage: python scripts/dist_sweep_table.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+CONFIGS = [
+    ("noisy", "NoisyNet (sigma0 0.5) + PER + n-step 3"),
+    ("dist_sweep/c51_a31", "C51, 31 atoms, support [-30, 45]"),
+    ("dist_sweep/c51_wide", "C51, 51 atoms, support [-45, 60]"),
+    ("dist_sweep/c51_lr5", "C51, 51 atoms, lr 5e-5"),
+    ("dist_sweep/qr_k32", "QR, 32 quantiles"),
+    ("dist_sweep/qr_lr5", "QR, 51 quantiles, lr 5e-5"),
+]
+
+
+def main() -> None:
+    rows = []
+    for d, label in CONFIGS:
+        path = os.path.join("logs", d, "sweep_summary.csv")
+        if not os.path.exists(path):
+            print(f"(pending: {path})")
+            continue
+        t = pd.read_csv(path)
+        best = t.loc[t["delay"].idxmin()]
+        steps = ("final" if best["steps"] == float("inf")
+                 else f"{best['steps'] / 1e6:.0f}M")
+        rows.append({
+            "config": label, "best ckpt": steps,
+            "TTT": f"{best['TTT']:,.0f}", "delay": f"{best['delay']:.2f}",
+            "throughput": f"{best['throughput']:,.0f}",
+        })
+    if not rows:
+        return
+    out = pd.DataFrame(rows).sort_values("delay")
+    print(out.to_markdown(index=False))
+
+
+if __name__ == "__main__":
+    main()
