@@ -463,6 +463,89 @@ def experiment_conditions(results_dir: str, out: str) -> None:
     return out
 
 
+SWEEP_LABELS = {
+    "logs/r2_long": "flagship seed 0 (PER n-step 3)",
+    "logs/seeds/s1": "flagship seed 1",
+    "logs/seeds/s2": "flagship seed 2",
+    "logs/seeds/s3": "flagship seed 3",
+    "logs/noisy": "NoisyNet 2.1M",
+    "logs/noisy63": "NoisyNet 6.3M",
+    "logs/dist_sweep/c51_a31": "C51 31-atom",
+    "logs/dist_sweep/c51_wide": "C51 wide support",
+    "logs/dist_sweep/c51_lr5": "C51 lr 5e-5",
+    "logs/dist_sweep/qr_k32": "QR 32-quantile",
+    "logs/dist_sweep/qr_lr5": "QR lr 5e-5",
+}
+
+
+def snapshot_curves(results_dir: str, out: str) -> str | None:
+    """Training-budget curves: eval delay of every 1M-step snapshot
+    (scripts/eval_snapshots.py 20-episode sweeps, eval seeds 42-61) vs
+    training steps, one line per run. This is the checkpoint-selection
+    evidence behind every shipped pack — eval delay, never training
+    reward, picks the checkpoint (the two diverge past ~6.3M; see
+    BENCHMARKS.md) — and the reference's reward-curve notebook analogue
+    (evaluation/reward/reward.ipynb) with eval metrics instead of the
+    reward proxy on the y-axis."""
+    import glob as _glob
+
+    runs = []
+    for path in sorted(_glob.glob("logs/**/sweep_summary.csv",
+                                  recursive=True)):
+        d = os.path.dirname(path)
+        t = pd.read_csv(path)
+        fin = t[t["steps"] != float("inf")]
+        if fin.empty:
+            continue
+        # The untagged final pack lands at the run's budget: 1M-step
+        # snapshot cadence + the 2.1M / 6.3M budgets used here put it
+        # ~5% past the last tagged snapshot.
+        budget = fin["steps"].max() * 1.05
+        t = t.assign(steps=t["steps"].replace(float("inf"), budget))
+        runs.append((SWEEP_LABELS.get(d, d), t.sort_values("steps")))
+    if not runs:
+        return None
+
+    fc = os.path.join(results_dir, "results_FixedCycleBaseline.csv")
+    fig, ax = plt.subplots(figsize=(8, 4.6))
+    if os.path.isfile(fc):
+        t = pd.read_csv(fc)
+        # Same 20 eval seeds the sweeps use (master 42 + i).
+        ref = t[t["seed"].between(42, 61)]["avg_time_loss"].mean()
+        ax.axhline(ref, color=INK2, linewidth=1.0, linestyle="--")
+        ax.annotate(f"FixedCycle {ref:.1f}", (0.99, ref),
+                    xycoords=("axes fraction", "data"), ha="right",
+                    va="bottom", fontsize=8, color=INK2)
+    # Flagship seeds share the accent blue (they are one family); every
+    # other run gets a hue clearly distinct from it.
+    others = ["#eb6834", "#7c4dbe", "#1e9e8b", "#c23a70", "#8a7a1e",
+              "#566a7a"]
+    k = 0
+    for label, t in runs:
+        flagship = label.startswith("flagship")
+        if flagship:
+            color = ACCENT
+        else:
+            color = others[k % len(others)]
+            k += 1
+        ax.plot(t["steps"] / 1e6, t["delay"], marker="o", markersize=3.5,
+                linewidth=1.6 if flagship else 1.1, color=color,
+                alpha=1.0 if flagship else 0.85, label=label)
+    ax.set_xlabel("training env-steps (millions)", fontsize=9, color=INK)
+    ax.set_ylabel("eval avg delay (s/veh, 20 seeded episodes)",
+                  fontsize=9, color=INK)
+    ax.set_title("Eval delay vs training budget — snapshot sweeps "
+                 "(checkpoint selection is by this curve)",
+                 fontsize=10, color=INK, loc="left")
+    _style(ax)
+    ax.yaxis.grid(True, color="#e8e7e2", linewidth=0.6)
+    ax.legend(fontsize=7.5, frameon=False, ncol=2, loc="upper right")
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
+
+
 def main(results_dir: str = "evaluation/results",
          out_dir: str = "evaluation/results/plots") -> None:
     os.makedirs(out_dir, exist_ok=True)
@@ -487,6 +570,8 @@ def main(results_dir: str = "evaluation/results",
             results_dir, os.path.join(out_dir, "improvement_matrices.png")),
         experiment_conditions(
             results_dir, os.path.join(out_dir, "experiment_conditions.png")),
+        snapshot_curves(
+            results_dir, os.path.join(out_dir, "snapshot_curves.png")),
     ]
     if os.path.isfile(os.path.join(results_dir, "results_DQNAgentLong.csv")):
         t = sensitivity(results_dir,
