@@ -58,6 +58,7 @@ SHORT = {
     "DQNAgentMacroNoLane": "DQN macro-no-lane",
     "DQNAgentC51": "DQN C51 (exp.)",
     "DQNAgentQr": "DQN QR (exp.)",
+    "DQNAgentNoisy": "DQN NoisyNet",
 }
 
 
