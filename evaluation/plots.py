@@ -479,7 +479,8 @@ SWEEP_LABELS = {
 }
 
 
-def snapshot_curves(results_dir: str, out: str) -> str | None:
+def snapshot_curves(results_dir: str, out: str,
+                    sweeps_glob: str = "logs/**/sweep_summary.csv") -> str | None:
     """Training-budget curves: eval delay of every 1M-step snapshot
     (scripts/eval_snapshots.py 20-episode sweeps, eval seeds 42-61) vs
     training steps, one line per run. This is the checkpoint-selection
@@ -491,8 +492,7 @@ def snapshot_curves(results_dir: str, out: str) -> str | None:
     import glob as _glob
 
     runs = []
-    for path in sorted(_glob.glob("logs/**/sweep_summary.csv",
-                                  recursive=True)):
+    for path in sorted(_glob.glob(sweeps_glob, recursive=True)):
         d = os.path.dirname(path)
         t = pd.read_csv(path)
         fin = t[t["steps"] != float("inf")]

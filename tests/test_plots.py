@@ -48,3 +48,34 @@ def test_sensitivity_pairs_by_seed_and_bins_by_demand(tmp_path):
     assert main_t.loc[6000, "dDelay mean"] == 1.0
     assert main_t.loc[6000, "win%"] == 0.0
     assert int(main_t["n"].sum()) == 20
+
+
+def test_snapshot_curves_plots_sweeps_and_skips_when_absent(tmp_path):
+    plots = _load_plots()
+    # FixedCycle reference over the sweep's eval seeds (42..61).
+    pd.DataFrame({
+        "seed": np.arange(42, 62),
+        "avg_time_loss": np.full(20, 34.0),
+    }).to_csv(tmp_path / "results_FixedCycleBaseline.csv", index=False)
+    d = tmp_path / "logs" / "run1"
+    d.mkdir(parents=True)
+    pd.DataFrame({
+        "pack": ["a_step1000k_model.pack", "a_step2000k_model.pack",
+                 "a_model.pack"],
+        "steps": [1e6, 2e6, float("inf")],   # final pack -> run budget
+        "TTT": [500e3, 460e3, 455e3],
+        "delay": [40.0, 33.0, 32.5],
+        "throughput": [5800, 6000, 6010],
+    }).to_csv(d / "sweep_summary.csv", index=False)
+
+    out = str(tmp_path / "curves.png")
+    got = plots.snapshot_curves(
+        str(tmp_path), out, sweeps_glob=str(tmp_path / "logs" / "**" /
+                                            "sweep_summary.csv"))
+    assert got == out and os.path.isfile(out)
+    # No sweeps anywhere -> None, nothing written.
+    assert plots.snapshot_curves(
+        str(tmp_path), str(tmp_path / "none.png"),
+        sweeps_glob=str(tmp_path / "empty" / "**" / "sweep_summary.csv"),
+    ) is None
+    assert not os.path.isfile(tmp_path / "none.png")
