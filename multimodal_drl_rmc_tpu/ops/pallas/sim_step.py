@@ -22,13 +22,16 @@ Layout notes:
     reduce, the VPU-native subset.
 
 Env-block (BT) ceiling — measured on v5e (scripts/diag_block16.py):
-BT=8 fits the 16 MiB scoped-VMEM budget (~14.3 MiB working set); BT=16
-needs 28.58 MiB and BT=32 needs 57.19 MiB, so both fail AOT with a
-scoped-VMEM stack OOM (NOT a Mosaic lowering bug — the per-program
-working set scales linearly with BT: ~21 live [BT, C, N] f32 planes plus
-the one-hot [BT, N, BINS] tensor). BT=8 is therefore the default
-(``sim.core.default_block``); ``--xla_tpu_scoped_vmem_limit_kib`` can
-raise the budget at the cost of double-buffering headroom.
+BT=8 fits the default 16 MiB scoped-VMEM budget (~14.3 MiB working set);
+BT=16 needs 28.58 MiB and BT=32 needs 57.19 MiB (NOT a Mosaic lowering
+bug — the per-program working set scales linearly with BT: ~21 live
+[BT, C, N] f32 planes plus the one-hot [BT, N, BINS] tensor). For BT>8,
+``_compiler_params`` raises the per-kernel budget via
+``pltpu.CompilerParams(vmem_limit_bytes=...)`` so larger tiles compile;
+whether they are *faster* is an empirical question (bigger tiles trade
+double-buffering headroom for fewer grid programs) — BT=8 remains the
+measured-fastest default (``sim.core.default_block``, ``MDRLRMC_BLOCK``
+overrides).
 """
 
 from __future__ import annotations
@@ -90,6 +93,23 @@ def _block_for(b: int, block: int) -> int:
     if b % block == 0:
         return block
     return next(d for d in range(min(block, b), 0, -1) if b % d == 0)
+
+
+def _compiler_params(bt: int):
+    """Mosaic compiler params for an env-tile of ``bt`` envs.
+
+    The default scoped-VMEM budget (16 MiB) fits BT=8 (~14.3 MiB working
+    set); the working set scales linearly with BT (~1.8 MiB/env), so for
+    larger tiles we raise the per-kernel budget via
+    ``CompilerParams.vmem_limit_bytes`` — the kernel-scoped equivalent of
+    ``--xla_tpu_scoped_vmem_limit_kib`` (which the axon client's XLA flag
+    parser rejects). Capped at 100 MiB of the v5e core's 128 MiB VMEM to
+    leave double-buffering headroom.
+    """
+    if bt <= 8:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(100 * 2**20, (2 * bt + 8) * 2**20))
 
 
 def _sum_bc(x):
@@ -304,6 +324,7 @@ def fused_substeps(pos, speed, active, wait, head, red, breakdown=None, *,
         in_specs=[spec3, spec3, spec3, spec3, spec2, spec1, spec1,
                   seg_spec, seg_spec, seg_spec, stop_spec],
         out_specs=(spec3, spec3, spec3),
+        compiler_params=_compiler_params(bt),
         interpret=interpret,
     )(pos, speed, active, wait, head, red[:, None], friction[:, None],
       seg_start, seg_end, seg_speed, stop)
@@ -426,6 +447,7 @@ def fused_step(pos, speed, active, wait, head, red, breakdown=None, *,
         in_specs=[spec3, spec3, spec3, spec3, spec2, spec1, spec1,
                   seg_spec, seg_spec, seg_spec, stop_spec, loop_spec],
         out_specs=(spec3, spec3, spec3, speck, speck, speck, spec1),
+        compiler_params=_compiler_params(bt),
         interpret=interpret,
     )(pos, speed, active, wait, head, red[:, None], friction[:, None],
       seg_start, seg_end, seg_speed, stop, loop_kc)
@@ -665,6 +687,7 @@ def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
                    spec1, spec1,
                    spec2, spec2, spec2, spec2,
                    spec1, spec1, spec1),
+        compiler_params=_compiler_params(bt),
         interpret=interpret,
     )(pos, speed, active, conn, wait, depart, head, count, pending,
       red[:, None], breakdown[:, None], t[:, None], pen[:, None], ucon, rate,
