@@ -14,6 +14,7 @@ axis for multi-chip learners (see parallel/).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -50,8 +51,17 @@ def init(capacity: int, obs_size: int, obs_dtype=jnp.float32) -> ReplayData:
     )
 
 
-def init_per(capacity: int, obs_size: int, obs_dtype=jnp.float32) -> PerReplayData:
-    return PerReplayData(init(capacity, obs_size, obs_dtype), st.init(capacity))
+def init_per(
+    capacity: int, obs_size: int, obs_dtype=jnp.float32, tree_kind: str | None = None
+) -> PerReplayData:
+    """Prioritized buffer. ``tree_kind``: "chunked" (default — the two-level
+    TPU-shaped tree, ops/sum_tree.py module docstring) or "heap" (the
+    log-depth heap tree). Overridable via ``MDRLRMC_PER_TREE``."""
+    kind = tree_kind or os.environ.get("MDRLRMC_PER_TREE", "chunked")
+    if kind not in ("chunked", "heap"):
+        raise ValueError(f"unknown PER tree kind: {kind!r}")
+    tree = st.init_chunked(capacity) if kind == "chunked" else st.init(capacity)
+    return PerReplayData(init(capacity, obs_size, obs_dtype), tree)
 
 
 def _capacity(data: ReplayData) -> int:

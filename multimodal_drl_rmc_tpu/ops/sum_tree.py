@@ -1,9 +1,13 @@
-"""On-device sum tree for prioritized experience replay.
+"""On-device priority trees for prioritized experience replay.
 
-TPU-native redesign of the reference's pointer-chasing ``SumTree``
-(dqn/utils/sum_tree.py:4-73). Instead of a Python while-loop per sample, the
-tree is a dense heap-ordered array (node 1 = root, leaves at [C, 2C)) and all
-operations are fixed-depth vectorized gathers/scatters:
+TPU-native redesigns of the reference's pointer-chasing ``SumTree``
+(dqn/utils/sum_tree.py:4-73). Two interchangeable structures behind one
+functional API (``update`` / ``sample`` / ``is_weights`` dispatch on the
+state type):
+
+**Heap tree** (``SumTreeState``, ``init``) — a dense heap-ordered array
+(node 1 = root, leaves at [C, 2C)); every operation is a fixed-depth
+(log2 C ≈ 20 at 1M capacity) sequence of vectorized gathers/scatters:
 
   * ``update``  — O(depth) per batch: leaves are scattered, then each
     ancestor level is *recomputed from its children* (idempotent, so
@@ -13,6 +17,20 @@ operations are fixed-depth vectorized gathers/scatters:
   * max/min priority — the reference caches argmax/argmin indices and
     rescans on invalidation (sum_tree.py:15-32). Here two sibling trees with
     max-/min- reductions give exact O(depth) maintenance with no rescans.
+
+**Chunked (two-level) tree** (``ChunkedTreeState``, ``init_chunked``) — the
+TPU-shaped structure and the default for training (``ops/replay.py``): the
+heap's 20 dependent levels cost ~60 tiny gather HLOs per sample and ~180
+per update, and on TPU these dispatch-bound micro-ops dominate PER cost
+(the sim is dispatch-bound for the same reason, CLAUDE.md). Instead keep a
+flat [C] leaf-priority array plus per-chunk sum/max/min over √C-sized
+chunks; a stratified sample is then two *dense* cumsum+compare passes
+([M] chunks, then one [B, K] row block), and an update is one leaf scatter
+plus an exact recompute of the touched chunks' reductions — ~8 large
+VPU-friendly ops each, no level-by-level dependency chain. Invariant:
+written priorities are strictly positive (the reference guarantees
+p = (|td|+eps)^alpha >= eps^alpha, replay_memory.py:94-98), so priority 0
+marks an empty slot and chunk min/max can be recomputed from leaves alone.
 
 All functions are jittable and differentiably irrelevant (int/index math).
 """
@@ -67,7 +85,7 @@ def _depth(capacity: int) -> int:
     return capacity.bit_length() - 1  # capacity is a power of two
 
 
-def update(state: SumTreeState, leaf_idx: jax.Array, priority: jax.Array) -> SumTreeState:
+def _heap_update(state: SumTreeState, leaf_idx: jax.Array, priority: jax.Array) -> SumTreeState:
     """Set ``priority[i]`` at data slot ``leaf_idx[i]`` and repair ancestors.
 
     Duplicate indices follow last-wins semantics (matching sequential
@@ -104,7 +122,7 @@ def update(state: SumTreeState, leaf_idx: jax.Array, priority: jax.Array) -> Sum
     return SumTreeState(sum_t, max_t, min_t)
 
 
-def sample(
+def _heap_sample(
     state: SumTreeState, u: jax.Array, batch_size: int
 ) -> tuple[jax.Array, jax.Array]:
     """Stratified sampling: leaf indices + priorities for ``batch_size`` draws.
@@ -132,9 +150,13 @@ def sample(
 
 
 def is_weights(
-    state: SumTreeState, priority: jax.Array, size: jax.Array, beta: jax.Array
+    state, priority: jax.Array, size: jax.Array, beta: jax.Array
 ) -> jax.Array:
-    """Normalized importance-sampling weights (replay_memory.py:76-86)."""
+    """Normalized importance-sampling weights (replay_memory.py:76-86).
+
+    Works for both tree structures — only the ``total`` / ``min_priority``
+    properties are consulted.
+    """
     total = jnp.maximum(state.total, 1e-12)
     prob = priority / total
     prob_min = state.min_priority / total
@@ -142,3 +164,147 @@ def is_weights(
     max_w = jnp.power(jnp.maximum(sz * prob_min, 1e-12), -beta)
     w = jnp.power(jnp.maximum(sz * prob, 1e-12), -beta)
     return w / max_w
+
+
+# ---------------------------------------------------------------------------
+# Chunked (two-level) tree — the TPU-shaped default (module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _chunk_size(capacity: int) -> int:
+    """K = min(1024, C): √C-balanced at the production 1M capacity
+    (M = C/K chunks of K leaves — both 1024 at C = 2^20)."""
+    return min(1024, capacity)
+
+
+class ChunkedTreeState(NamedTuple):
+    priority: jax.Array    # [C]  f32 leaf priorities (0 = empty slot)
+    chunk_sum: jax.Array   # [M]  f32 per-chunk priority sums
+    chunk_max: jax.Array   # [M]  f32 per-chunk max (0 for empty)
+    chunk_min: jax.Array   # [M]  f32 per-chunk min over written slots (+inf)
+
+    @property
+    def capacity(self) -> int:
+        return self.priority.shape[0]
+
+    @property
+    def total(self) -> jax.Array:
+        return jnp.sum(self.chunk_sum)
+
+    @property
+    def max_priority(self) -> jax.Array:
+        return jnp.max(self.chunk_max)
+
+    @property
+    def min_priority(self) -> jax.Array:
+        return jnp.min(self.chunk_min)
+
+
+def init_chunked(capacity: int) -> ChunkedTreeState:
+    c = _next_pow2(capacity)
+    m = c // _chunk_size(c)
+    return ChunkedTreeState(
+        priority=jnp.zeros(c, jnp.float32),
+        chunk_sum=jnp.zeros(m, jnp.float32),
+        chunk_max=jnp.zeros(m, jnp.float32),
+        chunk_min=jnp.full(m, jnp.inf, jnp.float32),
+    )
+
+
+def _chunked_update(
+    state: ChunkedTreeState, leaf_idx: jax.Array, priority: jax.Array
+) -> ChunkedTreeState:
+    """Scatter leaves, then recompute the touched chunks' reductions exactly.
+
+    Duplicate indices: every duplicate writes the LAST occurrence's value
+    (computed up front), so the scatter is deterministic and last-wins —
+    matching sequential application in the reference (sum_tree.py:94-98).
+    Chunk recomputes read the post-scatter leaves, so duplicate chunk
+    writes all carry the same value (idempotent, race-free).
+    """
+    c = state.capacity
+    k = _chunk_size(c)
+    m = c // k
+    b = leaf_idx.shape[0]
+    idx = leaf_idx.astype(jnp.int32)
+
+    if b > 1:
+        eq = idx[None, :] == idx[:, None]                     # [B, B]
+        occ = jnp.where(eq, jnp.arange(b, dtype=jnp.int32)[None, :], -1)
+        priority = priority[jnp.max(occ, axis=1)]             # last-wins value
+
+    leaves = state.priority.at[idx].set(priority)
+    chunks = idx // k                                         # [B] (dups ok)
+    rows = leaves.reshape(m, k)[chunks]                       # [B, K]
+    csum = jnp.sum(rows, axis=1)
+    cmax = jnp.max(rows, axis=1)
+    cmin = jnp.min(jnp.where(rows > 0.0, rows, jnp.inf), axis=1)
+    return ChunkedTreeState(
+        priority=leaves,
+        chunk_sum=state.chunk_sum.at[chunks].set(csum),
+        chunk_max=state.chunk_max.at[chunks].set(cmax),
+        chunk_min=state.chunk_min.at[chunks].set(cmin),
+    )
+
+
+def _chunked_sample(
+    state: ChunkedTreeState, u: jax.Array, batch_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """Stratified sampling as two dense cumsum+compare passes.
+
+    Selects, per draw, the first leaf whose cumulative priority reaches the
+    target — identical semantics to the heap descent (``v > left`` goes
+    right ⇔ first cumsum ≥ v).
+    """
+    c = state.capacity
+    k = _chunk_size(c)
+    m = c // k
+    seg = state.total / batch_size
+    offsets = jnp.arange(batch_size, dtype=jnp.float32)
+    v = (offsets + u) * seg                                   # [B]
+
+    cums = jnp.cumsum(state.chunk_sum)                        # [M]
+    chunk = jnp.sum((cums[None, :] < v[:, None]).astype(jnp.int32), axis=1)
+    chunk = jnp.minimum(chunk, m - 1)                         # float-edge clip
+    base = jnp.where(chunk > 0, cums[jnp.maximum(chunk - 1, 0)], 0.0)
+    v_in = v - base
+
+    rows = state.priority.reshape(m, k)[chunk]                # [B, K]
+    rcum = jnp.cumsum(rows, axis=1)                           # [B, K]
+    off = jnp.sum((rcum < v_in[:, None]).astype(jnp.int32), axis=1)
+    off = jnp.minimum(off, k - 1)
+    leaf_idx = chunk * k + off
+    priority = jnp.take_along_axis(rows, off[:, None], axis=1)[:, 0]
+    return leaf_idx, priority
+
+
+def heap_to_chunked(state: SumTreeState) -> ChunkedTreeState:
+    """Exact conversion (checkpoint migration): heap leaves carry the full
+    information; the chunk reductions are recomputed from them."""
+    c = state.capacity
+    k = _chunk_size(c)
+    m = c // k
+    rows = state.sum_tree[c:].reshape(m, k)
+    return ChunkedTreeState(
+        priority=state.sum_tree[c:],
+        chunk_sum=jnp.sum(rows, axis=1),
+        chunk_max=jnp.max(rows, axis=1),
+        chunk_min=jnp.min(jnp.where(rows > 0.0, rows, jnp.inf), axis=1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dispatch — one functional API over both structures.
+# ---------------------------------------------------------------------------
+
+
+def update(state, leaf_idx: jax.Array, priority: jax.Array):
+    if isinstance(state, ChunkedTreeState):
+        return _chunked_update(state, leaf_idx, priority)
+    return _heap_update(state, leaf_idx, priority)
+
+
+def sample(state, u: jax.Array, batch_size: int):
+    if isinstance(state, ChunkedTreeState):
+        return _chunked_sample(state, u, batch_size)
+    return _heap_sample(state, u, batch_size)

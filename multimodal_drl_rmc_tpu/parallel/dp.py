@@ -82,20 +82,14 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
     loss_of = make_loss_fn(net, apply_fn, spec, gamma_n, double, dist)
 
     def _buffer_specs():
-        """PartitionSpecs for the replay pytree: arrays shard on capacity,
-        ptr/size are identical per shard (symmetric inserts) -> replicated."""
-        data_spec = replay.ReplayData(
-            obs=P(axis), action=P(axis), reward=P(axis), done=P(axis),
-            next_obs=P(axis), ptr=P(), size=P(),
-        )
-        if per:
-            from ..ops.sum_tree import SumTreeState
-
-            return replay.PerReplayData(
-                data=data_spec,
-                tree=SumTreeState(sum_tree=P(axis), max_tree=P(axis), min_tree=P(axis)),
-            )
-        return data_spec
+        """PartitionSpecs for the replay pytree: every array leaf shards on
+        its capacity (leading) axis — true of the data arrays and of both
+        priority-tree formats (heap node arrays / chunked leaf+chunk
+        arrays) — while the scalar ptr/size are identical per shard
+        (symmetric inserts) -> replicated."""
+        shapes = jax.eval_shape(local_init_buffer)
+        return jax.tree_util.tree_map(
+            lambda l: P(axis) if l.ndim else P(), shapes)
 
     def local_init_buffer():
         if per:
@@ -215,10 +209,14 @@ def init_sharded_buffer(fns: LocalFns, mesh: Mesh, axis: str = "dp"):
 
     buf = jax.tree_util.tree_map(alloc, shards, fns.buf_specs)
     if fns.per:
-        inf = jnp.full(buf.tree.min_tree.shape, jnp.inf, jnp.float32)
+        # The zeros-allocation above is wrong for the min reduction (empty
+        # slots must read +inf) — re-seed it for whichever tree format the
+        # buffer uses.
+        field = "chunk_min" if hasattr(buf.tree, "chunk_min") else "min_tree"
+        inf = jnp.full(getattr(buf.tree, field).shape, jnp.inf, jnp.float32)
         buf = buf._replace(
             tree=buf.tree._replace(
-                min_tree=jax.device_put(inf, NamedSharding(mesh, P(axis))))
+                **{field: jax.device_put(inf, NamedSharding(mesh, P(axis)))})
         )
     return buf
 

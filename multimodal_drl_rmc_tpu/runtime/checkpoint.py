@@ -97,12 +97,35 @@ def save_full(path: str, payload_tree, meta: dict) -> None:
     _atomic_write(path, blob)
 
 
+def _migrate_heap_trees(node: Any) -> Any:
+    """Rewrite heap-format PER trees inside a restored state dict into the
+    chunked format (ops/sum_tree.py). The heap leaves carry the full
+    information, so the conversion is exact; it lets full checkpoints
+    written before the chunked tree became the default resume seamlessly
+    (the reverse — chunked payload into a heap template — is intentionally
+    unsupported: set MDRLRMC_PER_TREE=heap only for fresh runs)."""
+    from ..ops import sum_tree as st
+
+    if isinstance(node, dict):
+        if set(node) == {"sum_tree", "max_tree", "min_tree"}:
+            heap = st.SumTreeState(**{k: np.asarray(v) for k, v in node.items()})
+            return serialization.to_state_dict(_numpyify(st.heap_to_chunked(heap)))
+        return {k: _migrate_heap_trees(v) for k, v in node.items()}
+    return node
+
+
 def load_full(path: str, template_tree):
     """Restore a full checkpoint onto a freshly-built template pytree
     (shapes/structure source). Returns (payload, meta)."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    tree = serialization.from_state_dict(template_tree, payload["payload"])
+    state_dict = payload["payload"]
+    # Heap→chunked PER-tree migration, only when the template expects the
+    # chunked format (pytree node types are invisible in the state dict, so
+    # consult the template's structure).
+    if "ChunkedTreeState" in str(jax.tree_util.tree_structure(template_tree)):
+        state_dict = _migrate_heap_trees(state_dict)
+    tree = serialization.from_state_dict(template_tree, state_dict)
     return tree, dict(payload["meta"])
 
 
