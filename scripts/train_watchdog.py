@@ -81,6 +81,16 @@ def main() -> int:
                          "zero-CPU wait: a full-Carry checkpoint of a "
                          "multi-GB replay buffer can block on the tunnel "
                          "transfer with no CPU growth for minutes")
+    ap.add_argument("--progress-stall-seconds", type=float, default=1800.0,
+                    help="secondary detector (needs --log): kill if the "
+                         "child's log file has not grown for this long. "
+                         "Catches hangs the CPU detector misses — an "
+                         "observed tunnel hang kept ticking ~1 jiffy/30s "
+                         "(runtime bookkeeping), defeating the zero-growth "
+                         "rule forever, while the trainer normally logs "
+                         "every few seconds. Default 1800s = 2x the longest "
+                         "observed first-compile silence (~15 min through "
+                         "the relay)")
     ap.add_argument("--poll", type=float, default=15.0)
     ap.add_argument("--max-restarts", type=int, default=20)
     ap.add_argument("--pidfile", default="/tmp/train_watchdog_child.pid")
@@ -115,6 +125,8 @@ def main() -> int:
 
         last_cpu = -1
         last_growth = time.time()
+        last_log_size = -1
+        last_log_growth = time.time()
         hung = False
         while True:
             rc = child.poll()
@@ -132,6 +144,22 @@ def main() -> int:
                 kill_pid(child.pid)
                 hung = True
                 break
+            if args.log:
+                try:
+                    size = os.stat(args.log).st_size
+                except OSError:
+                    size = -1
+                if size != last_log_size:
+                    last_log_size = size
+                    last_log_growth = now
+                elif now - last_log_growth > args.progress_stall_seconds:
+                    print(f"[watchdog] pid {child.pid}: log silent for "
+                          f"{now - last_log_growth:.0f}s — killing "
+                          "(tunnel hang with residual CPU ticks)",
+                          flush=True)
+                    kill_pid(child.pid)
+                    hung = True
+                    break
             time.sleep(args.poll)
 
         if not hung and child.returncode == 0:

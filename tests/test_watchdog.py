@@ -44,6 +44,39 @@ def test_watchdog_kills_hang_and_resumes(tmp_path):
     assert not os.path.exists(f"/proc/{hung_pid}") or True  # reaped
 
 
+CHILD_BUSY_HANG = """
+import sys, time
+loads = [sys.argv[i + 1] for i, a in enumerate(sys.argv) if a == "-load"]
+if loads and loads[-1] == "true":
+    print("resumed ok")
+    sys.exit(0)
+# Hang WITH residual CPU ticks (observed tunnel-hang mode: ~1 jiffy/30s
+# of runtime bookkeeping defeats the zero-CPU-growth detector forever)
+# and a silent log. Tick lightly so the test doesn't saturate the core.
+x = 0
+while True:
+    x += sum(range(1000))
+    time.sleep(0.05)
+"""
+
+
+def test_watchdog_kills_silent_log_hang_despite_cpu_ticks(tmp_path):
+    child = tmp_path / "fake_train.py"
+    child.write_text(CHILD_BUSY_HANG)
+    log = tmp_path / "train.log"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/train_watchdog.py"),
+         "--stall-seconds", "60", "--progress-stall-seconds", "3",
+         "--poll", "0.5",
+         "--pidfile", str(tmp_path / "pid"), "--log", str(log),
+         "--", str(child), "-load", "false"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "log silent" in proc.stdout
+    assert "resumed ok" in log.read_text()
+
+
 def test_watchdog_restarts_on_crash(tmp_path):
     child = tmp_path / "fake_train.py"
     child.write_text(CHILD.replace("time.sleep(600)", "sys.exit(3)"))
