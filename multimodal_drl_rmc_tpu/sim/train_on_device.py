@@ -13,6 +13,7 @@ the learner trains from HBM replay between cycles.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import NamedTuple
 
@@ -308,11 +309,19 @@ class DeviceTrainer:
                     tag = f"_step{genv // se * se // 1000}k"
                     shutil.copyfile(pack, pack.replace("_model.pack",
                                                        f"{tag}_model.pack"))
-                    # Lossless full-Carry checkpoint at the same (coarse)
-                    # cadence: pulling the multi-GB HBM replay to host is
-                    # too slow for the 2-min quick saves, but once per
-                    # SNAPSHOT_EVERY env steps it makes kill+resume
-                    # bit-identical from at most one snapshot back.
+                # Lossless full-Carry checkpoints (replay + PER tree + RNG
+                # + env states) make kill+resume bit-identical — but
+                # pulling the ~2.3 GB HBM replay through the axon tunnel
+                # and msgpack-ing it measured ~8 MINUTES of stalled
+                # training per save (vs 9 min of training per 1M steps at
+                # B=256), and the silent-log window is indistinguishable
+                # from a tunnel hang to any watchdog. Opt-in cadence via
+                # MDRLRMC_FULL_SAVE_EVERY (env steps; 0 = off): the 2-min
+                # TrainState saves + step-tagged packs already bound a
+                # crash's cost to minutes (resume refills the buffer
+                # on-policy, reference train.py:68-72).
+                sf = int(os.environ.get("MDRLRMC_FULL_SAVE_EVERY", "0"))
+                if sf > 0 and genv // sf > (genv - save_iters * self.batch) // sf:
                     self.save_full(carry)
             if writer and (it % max(self.CHUNK, (cfg.hp.log_freq // self.batch)
                                     // self.CHUNK * self.CHUNK or self.CHUNK) == 0):

@@ -214,6 +214,31 @@ def test_device_trainer_periodic_saves_and_snapshots(tmp_path, monkeypatch):
     assert snaps, "expected at least one step-tagged snapshot pack"
 
 
+def test_device_trainer_full_save_knob(tmp_path, monkeypatch):
+    """Periodic lossless full-Carry saves are opt-in: pulling the multi-GB
+    replay through the tunnel measured ~8 min of stalled training per save,
+    so run() writes *_full.msgpack only when MDRLRMC_FULL_SAVE_EVERY is set
+    (env steps), and never by default."""
+    from multimodal_drl_rmc_tpu.sim.train_on_device import DeviceTrainer
+
+    monkeypatch.setattr(DeviceTrainer, "SAVE_MIN_ITERS", 32)
+    base = dict(batch_size=8, min_mem=8, max_mem=512, save_freq=1,
+                load=False, max_total_steps=200)
+    for every, expect in (("", False), ("128", True)):
+        sub = tmp_path / ("on" if expect else "off")
+        cfg = Config(
+            env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+            hp=HyperParams(save_dir=str(sub / "save") + "/",
+                           log_dir=str(sub / "logs") + "/", **base),
+        )
+        if every:
+            monkeypatch.setenv("MDRLRMC_FULL_SAVE_EVERY", every)
+        else:
+            monkeypatch.delenv("MDRLRMC_FULL_SAVE_EVERY", raising=False)
+        DeviceTrainer(cfg, batch=2, replay_ratio=1.0).run(log=False)
+        assert os.path.isfile(checkpoint.full_path(cfg)) == expect
+
+
 def test_device_trainer_resume_continues_step_accounting(tmp_path, monkeypatch):
     """A resumed DeviceTrainer continues GLOBAL env-step accounting: new
     snapshot tags extend the sequence instead of re-writing earlier
