@@ -374,5 +374,9 @@ def train_on_device(cfg: Config, seed: int = 0, batch: int | None = None,
                             replay_ratio=replay_ratio)
     carry = trainer.run()
     trainer.save(carry)
-    trainer.save_full(carry)
+    # The final lossless dump only matters for continuing PAST the budget
+    # (resume prefers it over the state save); like the periodic cadence
+    # it costs ~8 min of replay pull+serialize, so it rides the same knob.
+    if int(os.environ.get("MDRLRMC_FULL_SAVE_EVERY", "0")) > 0:
+        trainer.save_full(carry)
     print(f"saved {checkpoint.pack_path(cfg)}")
