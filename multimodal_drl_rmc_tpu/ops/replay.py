@@ -117,7 +117,10 @@ def per_insert(buf: PerReplayData, batch: Batch, max_priority_high: float = 1.0)
     idx = (buf.data.ptr + jnp.arange(n, dtype=jnp.int32)) % cap
     max_p = buf.tree.max_priority
     max_p = jnp.where(max_p <= 0.0, max_priority_high, max_p)
-    tree = st.update(buf.tree, idx, jnp.full((n,), max_p, jnp.float32))
+    # Ring slots ptr..ptr+n-1 are distinct whenever n <= capacity, so the
+    # O(n^2) duplicate resolution inside update is skippable.
+    tree = st.update(buf.tree, idx, jnp.full((n,), max_p, jnp.float32),
+                     assume_unique=True)
     return PerReplayData(insert(buf.data, batch), tree)
 
 

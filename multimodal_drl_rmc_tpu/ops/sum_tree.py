@@ -85,17 +85,20 @@ def _depth(capacity: int) -> int:
     return capacity.bit_length() - 1  # capacity is a power of two
 
 
-def _heap_update(state: SumTreeState, leaf_idx: jax.Array, priority: jax.Array) -> SumTreeState:
+def _heap_update(state: SumTreeState, leaf_idx: jax.Array, priority: jax.Array,
+                 assume_unique: bool = False) -> SumTreeState:
     """Set ``priority[i]`` at data slot ``leaf_idx[i]`` and repair ancestors.
 
     Duplicate indices follow last-wins semantics (matching sequential
     application in the reference's update loop, sum_tree.py:94-98).
+    ``assume_unique`` skips the O(B^2) duplicate resolution for callers
+    with guaranteed-distinct indices (ring-buffer inserts).
     """
     c = state.capacity
     b = leaf_idx.shape[0]
     nodes = leaf_idx.astype(jnp.int32) + c
 
-    if b > 1:
+    if b > 1 and not assume_unique:
         # Keep only the last occurrence of each duplicated index.
         eq = nodes[None, :] == nodes[:, None]          # [B, B]
         later = jnp.triu(eq, k=1)                      # j > i with same idx
@@ -212,7 +215,8 @@ def init_chunked(capacity: int) -> ChunkedTreeState:
 
 
 def _chunked_update(
-    state: ChunkedTreeState, leaf_idx: jax.Array, priority: jax.Array
+    state: ChunkedTreeState, leaf_idx: jax.Array, priority: jax.Array,
+    assume_unique: bool = False,
 ) -> ChunkedTreeState:
     """Scatter leaves, then recompute the touched chunks' reductions exactly.
 
@@ -221,6 +225,8 @@ def _chunked_update(
     matching sequential application in the reference (sum_tree.py:94-98).
     Chunk recomputes read the post-scatter leaves, so duplicate chunk
     writes all carry the same value (idempotent, race-free).
+    ``assume_unique`` skips the O(B^2) duplicate resolution for callers
+    with guaranteed-distinct indices (ring-buffer inserts).
     """
     c = state.capacity
     k = _chunk_size(c)
@@ -228,7 +234,7 @@ def _chunked_update(
     b = leaf_idx.shape[0]
     idx = leaf_idx.astype(jnp.int32)
 
-    if b > 1:
+    if b > 1 and not assume_unique:
         eq = idx[None, :] == idx[:, None]                     # [B, B]
         occ = jnp.where(eq, jnp.arange(b, dtype=jnp.int32)[None, :], -1)
         priority = priority[jnp.max(occ, axis=1)]             # last-wins value
@@ -298,10 +304,11 @@ def heap_to_chunked(state: SumTreeState) -> ChunkedTreeState:
 # ---------------------------------------------------------------------------
 
 
-def update(state, leaf_idx: jax.Array, priority: jax.Array):
+def update(state, leaf_idx: jax.Array, priority: jax.Array,
+           assume_unique: bool = False):
     if isinstance(state, ChunkedTreeState):
-        return _chunked_update(state, leaf_idx, priority)
-    return _heap_update(state, leaf_idx, priority)
+        return _chunked_update(state, leaf_idx, priority, assume_unique)
+    return _heap_update(state, leaf_idx, priority, assume_unique)
 
 
 def sample(state, u: jax.Array, batch_size: int):
