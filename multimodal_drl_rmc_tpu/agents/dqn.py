@@ -70,9 +70,14 @@ ALGO_FLAGS = {
     # NoisyNet exploration (Fortunato et al. 2018) over the scalar flagship
     # stack; epsilon-greedy is disabled (spec.noisy via NOISY_ALGOS).
     "NoisyPerDuelingDQNAgent": (True, True, True, False),
+    # Full-Rainbow composition (Hessel et al. 2018): noisy exploration over
+    # a distributional head, on top of double + dueling + PER + n-step.
+    "NoisyQrDuelingDQNAgent": (True, True, True, "qr"),
+    "NoisyC51DuelingDQNAgent": (True, True, True, "c51"),
 }
 
-NOISY_ALGOS = {"NoisyPerDuelingDQNAgent"}
+NOISY_ALGOS = {"NoisyPerDuelingDQNAgent", "NoisyQrDuelingDQNAgent",
+               "NoisyC51DuelingDQNAgent"}
 
 
 class DQNLearner(NamedTuple):
@@ -98,11 +103,9 @@ def spec_for_algo(cfg: Config):
     double, dueling, per, dist = ALGO_FLAGS[cfg.hp.algo]
     spec = cfg.net
     noisy = cfg.hp.algo in NOISY_ALGOS or spec.noisy
-    if noisy and dist:
-        raise ValueError("noisy heads are only wired for scalar-Q agents")
     if noisy and not dueling:
-        raise ValueError("noisy heads require a dueling network (only "
-                         "DuelingQNetwork builds NoisyDense heads)")
+        raise ValueError("noisy heads require a dueling network (only the "
+                         "dueling head builders wire NoisyDense)")
     want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
     want_kind = dist if dist else spec.dist_kind
     if spec.dueling != dueling or spec.n_atoms != want_atoms \
@@ -131,7 +134,30 @@ def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
     Selects the scalar TD loss or a distributional loss (C51 categorical /
     QR quantile-Huber); shared by the single-chip and DP learner builders.
     ``rng`` feeds the NoisyNet 'noise' collection and is ignored otherwise."""
-    if dist == "qr":
+    if dist and spec.noisy:
+        # Full Rainbow: the head fn takes a noise key; the losses draw
+        # independent online/target noise, mirroring dqn_loss's noisy path.
+        if dist == "qr":
+            taus = (2.0 * jnp.arange(spec.n_atoms) + 1.0) / (2.0 * spec.n_atoms)
+            head_fn = lambda p, x, key: net.apply(p, x, method=net.quantiles,
+                                                  rngs={"noise": key})
+        else:
+            support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
+            head_fn = lambda p, x, key: net.apply(p, x, method=net.logits,
+                                                  rngs={"noise": key})
+
+        def loss(params, target_params, batch, is_w, rng=None):
+            if rng is None:
+                raise ValueError("noisy-head loss requires an rng "
+                                 "(independent online/target noise draws)")
+            if dist == "qr":
+                return qr_loss(head_fn, params, target_params, batch,
+                               gamma_n, taus, double=double, is_weights=is_w,
+                               rng=rng)
+            return c51_loss(head_fn, params, target_params, batch,
+                            gamma_n, support, double=double, is_weights=is_w,
+                            rng=rng)
+    elif dist == "qr":
         taus = (2.0 * jnp.arange(spec.n_atoms) + 1.0) / (2.0 * spec.n_atoms)
         quant_fn = lambda p, x: net.apply(p, x, method=net.quantiles)
 
@@ -197,12 +223,16 @@ def make_learner(cfg: Config) -> DQNLearner:
         # NoisyNet replaces epsilon-greedy: actions are greedy under ONE
         # sampled noise draw per call (shared across the env batch, the
         # standard vectorized adaptation of Fortunato et al. 2018).
+        # Scalar dueling heads argmax advantages (reference network.py:110-117
+        # parity); distributional heads argmax the expected Q (__call__).
+        noisy_greedy_method = None if spec.n_atoms > 1 else "advantages"
+
         @jax.jit
         def select_actions(state: TrainState, obs: jax.Array,
                            rng: jax.Array) -> jax.Array:
-            adv = net.apply(state.params, obs, method=net.advantages,
-                            rngs={"noise": rng})
-            return jnp.argmax(adv, axis=-1)
+            q = net.apply(state.params, obs, method=noisy_greedy_method,
+                          rngs={"noise": rng})
+            return jnp.argmax(q, axis=-1)
     else:
         @jax.jit
         def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:

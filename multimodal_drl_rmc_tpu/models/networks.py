@@ -210,6 +210,25 @@ class DuelingQNetwork(nn.Module):
         return jnp.argmax(self.advantages(x), axis=-1)
 
 
+def _make_dist_heads(mod: nn.Module) -> None:
+    """Build the distributional output heads on ``mod`` (C51/QR networks):
+    K-atom value head + A*K-atom advantage head when dueling, else one
+    A*K head. With ``spec.noisy`` the heads are NoisyDense (full-Rainbow
+    composition, Hessel et al. 2018 — noisy exploration over a
+    distributional head); without a 'noise' rng they apply mean weights,
+    so greedy eval and .pack interop are unchanged."""
+    spec, dt, k = mod.spec, _dtype(mod.spec), mod.spec.n_atoms
+    if spec.noisy:
+        dense = lambda f, name: NoisyDense(f, spec.noisy_sigma0, dt, name=name)
+    else:
+        dense = lambda f, name: nn.Dense(f, dtype=dt, name=name)
+    if spec.dueling:
+        mod.fc_val = dense(k, "fc_val")
+        mod.fc_adv = dense(mod.n_actions * k, "fc_adv")
+    else:
+        mod.fc_out = dense(mod.n_actions * k, "fc_out")
+
+
 class DistributionalQNetwork(nn.Module):
     """C51 categorical head (TPU-build extension; Bellemare et al. 2017).
 
@@ -225,13 +244,7 @@ class DistributionalQNetwork(nn.Module):
 
     def setup(self):
         self.trunk = _make_trunk(self.spec)
-        dt = _dtype(self.spec)
-        k = self.spec.n_atoms
-        if self.spec.dueling:
-            self.fc_val = nn.Dense(k, dtype=dt, name="fc_val")
-            self.fc_adv = nn.Dense(self.n_actions * k, dtype=dt, name="fc_adv")
-        else:
-            self.fc_out = nn.Dense(self.n_actions * k, dtype=dt, name="fc_out")
+        _make_dist_heads(self)
 
     def support(self) -> jax.Array:
         return jnp.linspace(self.spec.v_min, self.spec.v_max,
@@ -272,13 +285,7 @@ class QuantileQNetwork(nn.Module):
 
     def setup(self):
         self.trunk = _make_trunk(self.spec)
-        dt = _dtype(self.spec)
-        k = self.spec.n_atoms
-        if self.spec.dueling:
-            self.fc_val = nn.Dense(k, dtype=dt, name="fc_val")
-            self.fc_adv = nn.Dense(self.n_actions * k, dtype=dt, name="fc_adv")
-        else:
-            self.fc_out = nn.Dense(self.n_actions * k, dtype=dt, name="fc_out")
+        _make_dist_heads(self)
 
     def taus(self) -> jax.Array:
         k = self.spec.n_atoms

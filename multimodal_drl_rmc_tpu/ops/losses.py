@@ -145,27 +145,38 @@ def c51_loss(
     *,
     double: bool = True,
     is_weights: jax.Array | None = None,
+    rng: jax.Array | None = None,
 ):
     """Categorical (C51) TD loss: cross-entropy between the projected target
     distribution and the online logits at the taken actions. Returns
     (scalar loss, per-sample CE [B]) — the CE doubles as the PER priority
     signal (Rainbow, Hessel et al. 2018).
+
+    With ``rng`` set (NoisyNet heads), ``logits_fn`` is (params, x, key) and
+    the online and target networks draw INDEPENDENT noise samples, matching
+    ``dqn_loss``.
     """
+    if rng is not None:
+        k_target, k_online = jax.random.split(rng)
+        fwd_target = lambda p, x: logits_fn(p, x, k_target)
+        fwd_online = lambda p, x: logits_fn(p, x, k_online)
+    else:
+        fwd_target = fwd_online = logits_fn
     b = batch.obs.shape[0]
     target_logits_next = jax.lax.stop_gradient(
-        logits_fn(target_params, batch.next_obs))          # [B, A, K]
+        fwd_target(target_params, batch.next_obs))         # [B, A, K]
     target_probs_next = jax.nn.softmax(target_logits_next, axis=-1)
 
     if double:
         # One online forward over [s; s'] (same fusion as dqn_loss).
-        both = logits_fn(
+        both = fwd_online(
             params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
         online_logits = both[:b]
         online_logits_next = jax.lax.stop_gradient(both[b:])
         q_next = jnp.sum(jax.nn.softmax(online_logits_next, axis=-1)
                          * support, axis=-1)               # online selection
     else:
-        online_logits = logits_fn(params, batch.obs)
+        online_logits = fwd_online(params, batch.obs)
         q_next = jnp.sum(target_probs_next * support, axis=-1)
     best = jnp.argmax(q_next, axis=-1)                     # [B]
     probs_best = jnp.take_along_axis(
@@ -194,6 +205,7 @@ def qr_loss(
     double: bool = True,
     is_weights: jax.Array | None = None,
     kappa: float = 1.0,
+    rng: jax.Array | None = None,
 ):
     """QR-DQN quantile-Huber loss (Dabney et al. 2017 eq. 10).
 
@@ -202,17 +214,27 @@ def qr_loss(
     The loss is the mean over target quantiles of the asymmetric Huber
     between every (online quantile i, target quantile j) pair. Returns
     (scalar loss, per-sample mean |TD| [B]) — the PER priority signal.
+
+    With ``rng`` set (NoisyNet heads), ``quantiles_fn`` is (params, x, key)
+    and the online and target networks draw INDEPENDENT noise samples,
+    matching ``dqn_loss``.
     """
+    if rng is not None:
+        k_target, k_online = jax.random.split(rng)
+        fwd_target = lambda p, x: quantiles_fn(p, x, k_target)
+        fwd_online = lambda p, x: quantiles_fn(p, x, k_online)
+    else:
+        fwd_target = fwd_online = quantiles_fn
     b = batch.obs.shape[0]
     target_q_next = jax.lax.stop_gradient(
-        quantiles_fn(target_params, batch.next_obs))        # [B, A, K]
+        fwd_target(target_params, batch.next_obs))          # [B, A, K]
     if double:
-        both = quantiles_fn(
+        both = fwd_online(
             params, jnp.concatenate([batch.obs, batch.next_obs], axis=0))
         online_q = both[:b]
         q_next = jnp.mean(jax.lax.stop_gradient(both[b:]), axis=-1)
     else:
-        online_q = quantiles_fn(params, batch.obs)
+        online_q = fwd_online(params, batch.obs)
         q_next = jnp.mean(target_q_next, axis=-1)
     best = jnp.argmax(q_next, axis=-1)                      # [B]
     theta_next = jnp.take_along_axis(

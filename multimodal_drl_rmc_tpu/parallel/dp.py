@@ -153,14 +153,18 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
         return new_state, buffer, metrics
 
     if spec.noisy:
+        # Scalar dueling heads argmax advantages (reference parity);
+        # distributional heads argmax expected Q (__call__).
+        noisy_greedy_method = None if spec.n_atoms > 1 else "advantages"
+
         def select_actions(state: TrainState, obs: jax.Array,
                            rng: jax.Array) -> jax.Array:
             # NoisyNet: greedy under one sampled noise draw per call (the
             # caller already folds in the device index, so shards explore
             # with independent noise).
-            adv = net.apply(state.params, obs, method=net.advantages,
-                            rngs={"noise": rng})
-            return jnp.argmax(adv, axis=-1)
+            q = net.apply(state.params, obs, method=noisy_greedy_method,
+                          rngs={"noise": rng})
+            return jnp.argmax(q, axis=-1)
     else:
         def select_actions(state: TrainState, obs: jax.Array, rng: jax.Array) -> jax.Array:
             eps = epsilon_schedule(

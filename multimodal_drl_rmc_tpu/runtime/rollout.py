@@ -34,14 +34,15 @@ class PolicyRunner:
         base_cfg = cfg or Config()
         spec = network_spec_for_variant(obs_variant)
         dueling = "Dueling" in algo
+        noisy = algo.startswith("Noisy")
+        base_algo = algo[len("Noisy"):] if noisy else algo
         n_atoms, kind = 1, spec.dist_kind
-        if algo.startswith(("C51", "Qr")):
+        if base_algo.startswith(("C51", "Qr")):
             # Atom/quantile count is a spec knob, not in the filename —
             # infer it from the checkpoint's advantage-head width.
             n_atoms = packio.peek_head_width(model_path) \
                 // base_cfg.env.n_actions
-            kind = "qr" if algo.startswith("Qr") else "c51"
-        noisy = algo.startswith("Noisy")
+            kind = "qr" if base_algo.startswith("Qr") else "c51"
         if spec.dueling != dueling or spec.n_atoms != n_atoms \
                 or spec.dist_kind != kind or spec.noisy != noisy:
             spec = type(spec)(**{**spec.__dict__, "dueling": dueling,

@@ -164,7 +164,12 @@ class DeviceTrainer:
 
     CHUNK = 16
     SAVE_MIN_ITERS = 512        # periodic-save cadence floor (iterations)
-    SNAPSHOT_EVERY = 1_000_000  # env steps between step-tagged pack copies
+    # Env steps between step-tagged pack copies. Distributional heads peak
+    # early and degrade (BENCHMARKS.md) — a denser grid via
+    # MDRLRMC_SNAPSHOT_EVERY gives the eval-based snapshot selection more
+    # candidates without touching the default long-run cadence.
+    SNAPSHOT_EVERY = int(os.environ.get("MDRLRMC_SNAPSHOT_EVERY",
+                                        1_000_000))
 
     def _fresh_carry(self) -> Carry:
         self.rng, r_env, r_state = jax.random.split(self.rng, 3)

@@ -202,3 +202,57 @@ def test_noisy_net_exploration_and_sigma_learning():
     assert np.isfinite(float(m.loss))
     sig1 = np.asarray(state.params["params"]["fc_adv"]["kernel_sigma"])
     assert float(np.abs(sig1 - sig0).sum()) > 0, "sigma gets gradients"
+
+
+@pytest.mark.parametrize("algo,kind", [("NoisyQrDuelingDQNAgent", "qr"),
+                                       ("NoisyC51DuelingDQNAgent", "c51")])
+def test_noisy_distributional_full_rainbow(algo, kind):
+    """Full-Rainbow composition (noisy heads over a distributional head):
+    sigma params exist on both K-atom heads and move under training,
+    exploration varies across noise draws but is deterministic per draw,
+    greedy eval uses mean weights, and the .pack round-trip preserves the
+    greedy policy (sigma rides alongside the mu weights)."""
+    from multimodal_drl_rmc_tpu.models import packio
+
+    cfg = tiny_config(algo)
+    learner = make_learner(cfg)
+    spec = learner.net.spec
+    assert spec.noisy and spec.n_atoms > 1 and spec.dist_kind == kind
+    rng = jax.random.PRNGKey(0)
+    state = learner.init_state(rng)
+    p = state.params["params"]
+    for head in ("fc_val", "fc_adv"):
+        assert "kernel_sigma" in p[head] and "bias_sigma" in p[head]
+    assert p["fc_adv"]["kernel"].shape[-1] == 8 * spec.n_atoms
+
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (64, 8))
+    a1 = learner.select_actions(state, obs, jax.random.PRNGKey(2))
+    a1b = learner.select_actions(state, obs, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a1b))
+    diffs = sum(
+        int((np.asarray(learner.select_actions(state, obs,
+                                               jax.random.PRNGKey(k)))
+             != np.asarray(a1)).sum())
+        for k in range(3, 13))
+    assert diffs > 0, "noise draws should perturb at least some actions"
+
+    buffer = learner.insert(learner.init_buffer(),
+                            synthetic_bandit_batch(rng))
+    sig0 = np.asarray(p["fc_adv"]["kernel_sigma"]).copy()
+    for i in range(20):
+        state, buffer, m = learner.train_step(
+            state, buffer, jax.random.fold_in(rng, i))
+    assert np.isfinite(float(m.loss))
+    sig1 = np.asarray(state.params["params"]["fc_adv"]["kernel_sigma"])
+    assert float(np.abs(sig1 - sig0).sum()) > 0, "sigma gets gradients"
+
+    # .pack round-trip: mean policy and sigma survive; greedy is noise-free.
+    g = np.asarray(learner.greedy_actions(state.params, obs))
+    path = f"/tmp/test_rainbow_{algo}_model.pack"
+    packio.save_pack(path, state.params, spec, step=20)
+    params2, meta = packio.load_pack(path, spec)
+    assert meta["step"] == 20
+    np.testing.assert_array_equal(
+        g, np.asarray(learner.greedy_actions(params2, obs)))
+    np.testing.assert_allclose(
+        sig1, np.asarray(params2["params"]["fc_adv"]["kernel_sigma"]))

@@ -157,3 +157,28 @@ def test_device_trainer_runs_with_nstep(monkeypatch):
     carry, out = tr._train_chunk(carry)
     assert np.isfinite(float(out["loss"]))
     assert carry.nstep["obs"].shape == (2, 4, cfg.env.obs_size)
+
+
+def test_device_trainer_runs_noisy_qr():
+    """Full-Rainbow agent (noisy + QR + PER + n-step) through the fused
+    device trainer: the noise rng threads through select_actions and the
+    quantile loss inside the scanned superstep."""
+    from multimodal_drl_rmc_tpu.config import (
+        Config, EnvConfig, HyperParams, ScenarioConfig,
+    )
+    from multimodal_drl_rmc_tpu.sim.train_on_device import DeviceTrainer
+
+    cfg = Config(
+        env=EnvConfig(scenario=ScenarioConfig(episode_seconds=120.0)),
+        hp=HyperParams(algo="NoisyQrDuelingDQNAgent", batch_size=8,
+                       min_mem=16, max_mem=512, max_total_steps=0,
+                       load=False, n_step=3),
+    )
+    tr = DeviceTrainer(cfg, batch=4, replay_ratio=1.0)
+    carry = tr.init_carry()
+    carry = tr._warm_chunk(carry, 4)
+    carry, out = tr._train_chunk(carry)
+    assert np.isfinite(float(out["loss"]))
+    p = carry.train_state.params["params"]
+    assert "kernel_sigma" in p["fc_adv"]
+    assert p["fc_adv"]["kernel"].shape[-1] == 8 * tr.learner.net.spec.n_atoms
