@@ -57,12 +57,18 @@ def bench_tpu() -> float:
     float(m.loss)  # materialize: wait for compile + run
     jax.block_until_ready((state, buffer))
 
-    t0 = time.perf_counter()
-    state, buffer, m = learner.train_many(state, buffer, jax.random.fold_in(rng, 5), STEPS)
-    float(m.loss)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    return STEPS * BATCH / dt
+    # Best of 3 windows, symmetric with the torch baseline's best-of-5:
+    # a busy host core or a slow tunnel round-trip deflates single-window
+    # numbers (r02 352.0k vs a 317k single window measured under load).
+    best = 0.0
+    for i in range(3):
+        t0 = time.perf_counter()
+        state, buffer, m = learner.train_many(
+            state, buffer, jax.random.fold_in(rng, 5 + i), STEPS)
+        float(m.loss)
+        jax.block_until_ready(state.params)
+        best = max(best, STEPS * BATCH / (time.perf_counter() - t0))
+    return best
 
 
 def bench_torch_cpu_reference() -> float:

@@ -37,6 +37,7 @@ from ..ops.losses import (
     c51_loss,
     dqn_loss,
     epsilon_schedule,
+    iqn_loss,
     polyak_update,
     qr_loss,
 )
@@ -67,6 +68,8 @@ ALGO_FLAGS = {
     # flag is False or the head family ("c51" / "qr").
     "C51DuelingDQNAgent": (True, True, True, "c51"),
     "QrDuelingDQNAgent": (True, True, True, "qr"),
+    # IQN (Dabney et al. 2018): taus are sampled inputs, not a fixed grid.
+    "IqnDuelingDQNAgent": (True, True, True, "iqn"),
     # NoisyNet exploration (Fortunato et al. 2018) over the scalar flagship
     # stack; epsilon-greedy is disabled (spec.noisy via NOISY_ALGOS).
     "NoisyPerDuelingDQNAgent": (True, True, True, False),
@@ -106,6 +109,9 @@ def spec_for_algo(cfg: Config):
     if noisy and not dueling:
         raise ValueError("noisy heads require a dueling network (only the "
                          "dueling head builders wire NoisyDense)")
+    if noisy and dist == "iqn":
+        raise ValueError("noisy heads are not wired for the IQN network "
+                         "(IqnQNetwork builds plain Dense heads)")
     want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
     want_kind = dist if dist else spec.dist_kind
     if spec.dueling != dueling or spec.n_atoms != want_atoms \
@@ -134,7 +140,16 @@ def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
     Selects the scalar TD loss or a distributional loss (C51 categorical /
     QR quantile-Huber); shared by the single-chip and DP learner builders.
     ``rng`` feeds the NoisyNet 'noise' collection and is ignored otherwise."""
-    if dist and spec.noisy:
+    if dist == "iqn":
+        quant_at = lambda p, x, t: net.apply(p, x, t, method=net.quantiles_at)
+
+        def loss(params, target_params, batch, is_w, rng=None):
+            if rng is None:
+                raise ValueError("iqn loss requires an rng (sampled taus)")
+            return iqn_loss(quant_at, params, target_params, batch,
+                            gamma_n, rng, n_taus=spec.n_atoms, double=double,
+                            is_weights=is_w)
+    elif dist and spec.noisy:
         # Full Rainbow: the head fn takes a noise key; the losses draw
         # independent online/target noise, mirroring dqn_loss's noisy path.
         if dist == "qr":
@@ -252,11 +267,13 @@ def make_learner(cfg: Config) -> DQNLearner:
             return replay.per_insert(buffer, batch, hp.per_max_priority)
         return replay.insert(buffer, batch)
 
+    needs_loss_rng = spec.noisy or dist == "iqn"
+
     def _one_step(state: TrainState, buffer, rng: jax.Array):
-        # Only noisy heads consume a loss-side key; non-noisy algos keep
-        # their exact pre-existing RNG stream.
+        # Only noisy heads / IQN tau sampling consume a loss-side key;
+        # other algos keep their exact pre-existing RNG stream.
         r_noise = None
-        if spec.noisy:
+        if needs_loss_rng:
             rng, r_noise = jax.random.split(rng)
         if per:
             beta = beta_schedule(

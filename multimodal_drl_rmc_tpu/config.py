@@ -226,9 +226,13 @@ class NetworkSpec:
     v_min: float = -30.0
     v_max: float = 45.0
     # Distributional head family when n_atoms > 1: "c51" (categorical on
-    # the fixed [v_min, v_max] support) or "qr" (quantile regression,
-    # Dabney et al. 2017 — no support to calibrate; n_atoms = quantiles).
+    # the fixed [v_min, v_max] support), "qr" (quantile regression,
+    # Dabney et al. 2017 — no support to calibrate; n_atoms = quantiles),
+    # or "iqn" (implicit quantile networks, Dabney et al. 2018 — taus are
+    # INPUTS embedded via cosine features, sampled fresh per loss call;
+    # n_atoms = tau samples per forward; eval uses the fixed midpoint grid).
     dist_kind: str = "c51"
+    iqn_embed_dim: int = 64   # cosine-embedding size n (IQN paper eq. 4)
     # NoisyNet heads (Fortunato et al. 2018, factorized Gaussian noise):
     # fc_val/fc_adv become NoisyDense and exploration comes from the learned
     # sigma instead of epsilon-greedy (the learner zeroes epsilon). Mean
@@ -260,8 +264,12 @@ ALGO_NAMES = (
     # Rainbow-lite stack (double + dueling + PER; n-step via -n_step).
     "C51DuelingDQNAgent",
     "QrDuelingDQNAgent",
-    # NoisyNet exploration over the scalar flagship stack.
+    "IqnDuelingDQNAgent",
+    # NoisyNet exploration over the scalar flagship stack / the
+    # distributional heads (full Rainbow).
     "NoisyPerDuelingDQNAgent",
+    "NoisyQrDuelingDQNAgent",
+    "NoisyC51DuelingDQNAgent",
 )
 
 

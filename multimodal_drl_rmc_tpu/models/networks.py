@@ -307,10 +307,74 @@ class QuantileQNetwork(nn.Module):
         return jnp.argmax(self(x), axis=-1)
 
 
+class IqnQNetwork(nn.Module):
+    """IQN head (TPU-build extension; Dabney et al. 2018 — implicit
+    quantile networks).
+
+    Quantile fractions are INPUTS, not fixed: ``quantiles_at(x, taus)``
+    embeds each tau with n cosine features phi_j(tau) = relu(W cos(pi j
+    tau) + b) (paper eq. 4), modulates the trunk features by elementwise
+    product, and maps through the dueling heads — so the same parameters
+    evaluate ANY quantile. The loss samples fresh taus per update
+    (ops/losses.py iqn_loss); eval surfaces (``quantiles``/``__call__``/
+    ``greedy``) use the fixed midpoint grid tau_i = (2i+1)/2K for
+    determinism, K = spec.n_atoms. All-dense (MXU-friendly batched
+    matmuls over the [B, K, F] tau axis), .pack round-trips via the
+    ``tau_embed`` layer entry in packio._torch_keys.
+    """
+
+    spec: NetworkSpec
+    n_actions: int
+
+    def setup(self):
+        self.trunk = _make_trunk(self.spec)
+        dt = _dtype(self.spec)
+        feat = (self.spec.dense[-1] if self.spec.kind == "two_stream_hybrid"
+                else self.spec.mlp_hidden[-1])
+        self.tau_embed = nn.Dense(feat, dtype=dt, name="tau_embed")
+        if self.spec.dueling:
+            self.fc_val = nn.Dense(1, dtype=dt, name="fc_val")
+            self.fc_adv = nn.Dense(self.n_actions, dtype=dt, name="fc_adv")
+        else:
+            self.fc_out = nn.Dense(self.n_actions, dtype=dt, name="fc_out")
+
+    def quantiles_at(self, x: jax.Array, taus: jax.Array) -> jax.Array:
+        """x [B, D], taus [B, K] -> quantile values [B, A, K]."""
+        psi = self.trunk(x)                                      # [B, F]
+        j = jnp.arange(self.spec.iqn_embed_dim, dtype=psi.dtype)
+        cosf = jnp.cos(jnp.pi * j[None, None, :]
+                       * taus[:, :, None].astype(psi.dtype))     # [B, K, n]
+        phi = jax.nn.relu(self.tau_embed(cosf))                  # [B, K, F]
+        z = psi[:, None, :] * phi                                # [B, K, F]
+        if self.spec.dueling:
+            val = self.fc_val(z)                                 # [B, K, 1]
+            adv = self.fc_adv(z)                                 # [B, K, A]
+            q = val + adv - jnp.mean(adv, axis=-1, keepdims=True)
+        else:
+            q = self.fc_out(z)
+        return jnp.transpose(q, (0, 2, 1))                       # [B, A, K]
+
+    def taus(self) -> jax.Array:
+        k = self.spec.n_atoms
+        return (2.0 * jnp.arange(k) + 1.0) / (2.0 * k)
+
+    def quantiles(self, x: jax.Array) -> jax.Array:
+        """Fixed-midpoint-grid quantiles [B, A, K] (deterministic eval)."""
+        t = jnp.broadcast_to(self.taus()[None, :],
+                             (x.shape[0], self.spec.n_atoms))
+        return self.quantiles_at(x, t)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return jnp.mean(self.quantiles(x), axis=-1)
+
+    def greedy(self, x: jax.Array) -> jax.Array:
+        return jnp.argmax(self(x), axis=-1)
+
+
 def build_network(spec: NetworkSpec, n_actions: int) -> nn.Module:
     if spec.n_atoms > 1:
-        cls = QuantileQNetwork if spec.dist_kind == "qr" \
-            else DistributionalQNetwork
+        cls = {"qr": QuantileQNetwork, "iqn": IqnQNetwork}.get(
+            spec.dist_kind, DistributionalQNetwork)
         return cls(spec, n_actions)
     return (DuelingQNetwork if spec.dueling else QNetwork)(spec, n_actions)
 

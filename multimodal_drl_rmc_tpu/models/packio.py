@@ -86,6 +86,9 @@ def _torch_keys(spec: NetworkSpec, dueling: bool):
             entries.append((f"net.{2 * i}", ("trunk", f"dense_{i}"), "dense"))
     else:
         raise ValueError(spec.kind)
+    if spec.dist_kind == "iqn" and spec.n_atoms > 1:
+        # IQN cosine-embedding layer (models/networks.py IqnQNetwork).
+        entries.append(("tau_embed", ("tau_embed",), "dense"))
     if dueling:
         entries.append(("fc_val", ("fc_val",), "dense"))
         entries.append(("fc_adv", ("fc_adv",), "dense"))

@@ -260,6 +260,69 @@ def qr_loss(
     return loss, jax.lax.stop_gradient(per_sample)
 
 
+def iqn_loss(
+    quantiles_at_fn,
+    params,
+    target_params,
+    batch: Batch,
+    gamma: float,
+    rng: jax.Array,
+    *,
+    n_taus: int,
+    double: bool = True,
+    is_weights: jax.Array | None = None,
+    kappa: float = 1.0,
+):
+    """IQN quantile-Huber loss (Dabney et al. 2018 eq. 3) with SAMPLED
+    quantile fractions: fresh taus ~ U(0,1) per call for the online
+    network, the target network, and the double-DQN action selection —
+    the implicit head evaluates any tau, so every update trains a
+    different slice of the return distribution.
+
+    ``quantiles_at_fn(params, x [B, D], taus [B, K]) -> [B, A, K]``.
+    ``rng`` is REQUIRED (three independent tau draws). Returns
+    (scalar loss, per-sample loss [B]) — the PER priority signal, like
+    ``qr_loss``.
+    """
+    b = batch.obs.shape[0]
+    k_on, k_tgt, k_sel = jax.random.split(rng, 3)
+    taus = jax.random.uniform(k_on, (b, n_taus))          # online, trained
+    taus_t = jax.random.uniform(k_tgt, (b, n_taus))       # target quantiles
+    target_q_next = jax.lax.stop_gradient(
+        quantiles_at_fn(target_params, batch.next_obs, taus_t))  # [B, A, K]
+    if double:
+        # One online forward over [s; s'] (same fusion as qr_loss); the
+        # next-state half uses its own tau draw for the mean-Q estimate.
+        taus_sel = jax.random.uniform(k_sel, (b, n_taus))
+        both = quantiles_at_fn(
+            params,
+            jnp.concatenate([batch.obs, batch.next_obs], axis=0),
+            jnp.concatenate([taus, taus_sel], axis=0))
+        online_q = both[:b]
+        q_next = jnp.mean(jax.lax.stop_gradient(both[b:]), axis=-1)
+    else:
+        online_q = quantiles_at_fn(params, batch.obs, taus)
+        q_next = jnp.mean(target_q_next, axis=-1)
+    best = jnp.argmax(q_next, axis=-1)                    # [B]
+    theta_next = jnp.take_along_axis(
+        target_q_next, best[:, None, None], axis=1)[:, 0, :]      # [B, K]
+    targets = batch.reward[:, None] \
+        + gamma * (1.0 - batch.done[:, None]) * theta_next        # [B, K]
+    targets = jax.lax.stop_gradient(targets)
+
+    theta = jnp.take_along_axis(
+        online_q, batch.action[:, None, None], axis=1)[:, 0, :]   # [B, K]
+    u = targets[:, None, :] - theta[:, :, None]           # [B, K_on, K_tgt]
+    h = huber(u, kappa)
+    # Asymmetric weights use the SAMPLED online taus (vs qr_loss's fixed
+    # midpoint grid) — the defining IQN difference.
+    w = jnp.abs(taus[:, :, None] - (u < 0.0)) / kappa
+    per_sample = jnp.mean(jnp.sum(w * h, axis=1), axis=1)  # [B]
+    loss = jnp.mean(is_weights * per_sample) if is_weights is not None \
+        else jnp.mean(per_sample)
+    return loss, jax.lax.stop_gradient(per_sample)
+
+
 def polyak_update(target_params, online_params, tau: float):
     """Soft target update (reference agent.py:105-110): t = tau*o + (1-tau)*t."""
     return jax.tree_util.tree_map(

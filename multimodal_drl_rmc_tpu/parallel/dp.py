@@ -101,11 +101,13 @@ def make_local_fns(cfg: Config, ndev: int, axis: str = "dp") -> LocalFns:
             return replay.per_insert(buffer, batch, hp.per_max_priority)
         return replay.insert(buffer, batch)
 
+    needs_loss_rng = spec.noisy or dist == "iqn"
+
     def local_train(state: TrainState, buffer, rng: jax.Array):
         my = jax.lax.axis_index(axis)
         rng = jax.random.fold_in(rng, my)
         r_noise = None
-        if spec.noisy:
+        if needs_loss_rng:
             rng, r_noise = jax.random.split(rng)
         if per:
             beta = beta_schedule(

@@ -43,6 +43,11 @@ class PolicyRunner:
             n_atoms = packio.peek_head_width(model_path) \
                 // base_cfg.env.n_actions
             kind = "qr" if base_algo.startswith("Qr") else "c51"
+        elif base_algo.startswith("Iqn"):
+            # IQN taus are inputs, so the head width is just n_actions and
+            # the eval quantile count is a free choice — use the training
+            # default (spec_for_algo's 51-midpoint grid).
+            n_atoms, kind = 51, "iqn"
         if spec.dueling != dueling or spec.n_atoms != n_atoms \
                 or spec.dist_kind != kind or spec.noisy != noisy:
             spec = type(spec)(**{**spec.__dict__, "dueling": dueling,

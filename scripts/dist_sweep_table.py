@@ -23,6 +23,13 @@ CONFIGS = [
     ("dist_sweep/c51_lr5", "C51, 51 atoms, lr 5e-5"),
     ("dist_sweep/qr_k32", "QR, 32 quantiles"),
     ("dist_sweep/qr_lr5", "QR, 51 quantiles, lr 5e-5"),
+    # Full-Rainbow round (scripts/run_rainbow.sh, 250k snapshot grid).
+    ("rainbow/noisyqr_lr5", "Noisy + QR 51, lr 5e-5 (full Rainbow)"),
+    ("rainbow/qr_lr5_s1", "QR, 51 quantiles, lr 5e-5, seed 1"),
+    ("rainbow/noisyc51_lr5", "Noisy + C51 [-45,60], lr 5e-5 (Rainbow)"),
+    ("rainbow/iqn_lr5", "IQN, 51 tau samples, lr 5e-5"),
+    ("rainbow/noisy_s1", "NoisyNet (sigma0 0.5), seed 1"),
+    ("rainbow/noisy_s2", "NoisyNet (sigma0 0.5), seed 2"),
 ]
 
 
@@ -36,7 +43,7 @@ def main() -> None:
         t = pd.read_csv(path)
         best = t.loc[t["delay"].idxmin()]
         steps = ("final" if best["steps"] == float("inf")
-                 else f"{best['steps'] / 1e6:.0f}M")
+                 else f"{best['steps'] / 1e6:g}M")  # 0.25M, 1M, 2M
         rows.append({
             "config": label, "best ckpt": steps,
             "TTT": f"{best['TTT']:,.0f}", "delay": f"{best['delay']:.2f}",

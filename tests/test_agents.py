@@ -256,3 +256,52 @@ def test_noisy_distributional_full_rainbow(algo, kind):
         g, np.asarray(learner.greedy_actions(params2, obs)))
     np.testing.assert_allclose(
         sig1, np.asarray(params2["params"]["fc_adv"]["kernel_sigma"]))
+
+
+def test_iqn_implicit_quantiles():
+    """IQN agent: the same parameters evaluate arbitrary tau inputs
+    (different taus -> different quantile values), the loss demands an
+    rng (sampled taus), greedy eval on the fixed midpoint grid is
+    deterministic, and the .pack round-trip (incl. the tau_embed layer)
+    preserves the greedy policy."""
+    from multimodal_drl_rmc_tpu.models import packio
+
+    cfg = tiny_config("IqnDuelingDQNAgent")
+    learner = make_learner(cfg)
+    spec = learner.net.spec
+    assert spec.dist_kind == "iqn" and spec.n_atoms > 1 and not spec.noisy
+    rng = jax.random.PRNGKey(0)
+    state = learner.init_state(rng)
+    p = state.params["params"]
+    assert "tau_embed" in p
+    # Implicit head: per-tau output width is n_actions, not A*K.
+    assert p["fc_adv"]["kernel"].shape[-1] == 8
+
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (16, 8))
+    net = learner.net
+    q_lo = net.apply(state.params, obs, jnp.full((16, 4), 0.1),
+                     method=net.quantiles_at)
+    q_hi = net.apply(state.params, obs, jnp.full((16, 4), 0.9),
+                     method=net.quantiles_at)
+    assert q_lo.shape == (16, 8, 4)
+    assert float(jnp.abs(q_lo - q_hi).max()) > 0, \
+        "tau input must modulate the quantile values"
+
+    # Greedy (fixed midpoint grid) is deterministic and rng-free.
+    g = np.asarray(learner.greedy_actions(state.params, obs))
+    np.testing.assert_array_equal(
+        g, np.asarray(learner.greedy_actions(state.params, obs)))
+
+    buffer = learner.insert(learner.init_buffer(),
+                            synthetic_bandit_batch(rng))
+    for i in range(20):
+        state, buffer, m = learner.train_step(
+            state, buffer, jax.random.fold_in(rng, i))
+    assert np.isfinite(float(m.loss))
+
+    g = np.asarray(learner.greedy_actions(state.params, obs))
+    path = "/tmp/test_iqn_model.pack"
+    packio.save_pack(path, state.params, spec, step=20)
+    params2, _ = packio.load_pack(path, spec)
+    np.testing.assert_array_equal(
+        g, np.asarray(learner.greedy_actions(params2, obs)))
