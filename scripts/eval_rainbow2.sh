@@ -6,8 +6,8 @@
 cd /root/repo
 export JAX_PLATFORMS='' PYTHONPATH=''
 CONFIGS="rainbow/iqn_lr5:IqnDuelingDQNAgent:Iqn
-rainbow/noisy_s1:NoisyPerDuelingDQNAgent:NoisyS1
-rainbow/noisy_s2:NoisyPerDuelingDQNAgent:NoisyS2"
+rainbow/noisy_s2:NoisyPerDuelingDQNAgent:NoisyS2
+rainbow/noisy_s3:NoisyPerDuelingDQNAgent:NoisyS3"
 while :; do
   pending=0
   for c in $CONFIGS; do

@@ -32,6 +32,8 @@ run rainbow/iqn_lr5 -algo IqnDuelingDQNAgent -lr 5e-5
 echo "=== bench re-validation $(date) ==="
 python bench.py | tee logs/bench_r3_revalidate.json
 
-run rainbow/noisy_s1 -algo NoisyPerDuelingDQNAgent -seed 1
+# save/noisy already holds the seed-1 2.1M run (results_DQNAgentNoisy.csv),
+# so the extra robustness seeds are 2 and 3.
 run rainbow/noisy_s2 -algo NoisyPerDuelingDQNAgent -seed 2
+run rainbow/noisy_s3 -algo NoisyPerDuelingDQNAgent -seed 3
 echo "RAINBOW2 RUNS DONE $(date)"
