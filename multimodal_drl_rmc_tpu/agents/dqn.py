@@ -149,43 +149,39 @@ def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
             return iqn_loss(quant_at, params, target_params, batch,
                             gamma_n, rng, n_taus=spec.n_atoms, double=double,
                             is_weights=is_w)
-    elif dist and spec.noisy:
-        # Full Rainbow: the head fn takes a noise key; the losses draw
-        # independent online/target noise, mirroring dqn_loss's noisy path.
-        if dist == "qr":
-            taus = (2.0 * jnp.arange(spec.n_atoms) + 1.0) / (2.0 * spec.n_atoms)
-            head_fn = lambda p, x, key: net.apply(p, x, method=net.quantiles,
-                                                  rngs={"noise": key})
+    elif dist == "qr":
+        # spec.noisy = full Rainbow: the head fn takes a noise key and
+        # qr_loss/c51_loss draw independent online/target noise, mirroring
+        # dqn_loss's noisy path.
+        taus = (2.0 * jnp.arange(spec.n_atoms) + 1.0) / (2.0 * spec.n_atoms)
+        if spec.noisy:
+            quant_fn = lambda p, x, key: net.apply(
+                p, x, method=net.quantiles, rngs={"noise": key})
         else:
-            support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
-            head_fn = lambda p, x, key: net.apply(p, x, method=net.logits,
-                                                  rngs={"noise": key})
+            quant_fn = lambda p, x: net.apply(p, x, method=net.quantiles)
 
         def loss(params, target_params, batch, is_w, rng=None):
-            if rng is None:
+            if spec.noisy and rng is None:
                 raise ValueError("noisy-head loss requires an rng "
                                  "(independent online/target noise draws)")
-            if dist == "qr":
-                return qr_loss(head_fn, params, target_params, batch,
-                               gamma_n, taus, double=double, is_weights=is_w,
-                               rng=rng)
-            return c51_loss(head_fn, params, target_params, batch,
-                            gamma_n, support, double=double, is_weights=is_w,
-                            rng=rng)
-    elif dist == "qr":
-        taus = (2.0 * jnp.arange(spec.n_atoms) + 1.0) / (2.0 * spec.n_atoms)
-        quant_fn = lambda p, x: net.apply(p, x, method=net.quantiles)
-
-        def loss(params, target_params, batch, is_w, rng=None):
             return qr_loss(quant_fn, params, target_params, batch,
-                           gamma_n, taus, double=double, is_weights=is_w)
+                           gamma_n, taus, double=double, is_weights=is_w,
+                           rng=rng if spec.noisy else None)
     elif dist:
         support = jnp.linspace(spec.v_min, spec.v_max, spec.n_atoms)
-        logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
+        if spec.noisy:
+            logits_fn = lambda p, x, key: net.apply(
+                p, x, method=net.logits, rngs={"noise": key})
+        else:
+            logits_fn = lambda p, x: net.apply(p, x, method=net.logits)
 
         def loss(params, target_params, batch, is_w, rng=None):
+            if spec.noisy and rng is None:
+                raise ValueError("noisy-head loss requires an rng "
+                                 "(independent online/target noise draws)")
             return c51_loss(logits_fn, params, target_params, batch,
-                            gamma_n, support, double=double, is_weights=is_w)
+                            gamma_n, support, double=double, is_weights=is_w,
+                            rng=rng if spec.noisy else None)
     elif spec.noisy:
         noisy_apply = lambda p, x, key: net.apply(p, x,
                                                   rngs={"noise": key})

@@ -194,6 +194,34 @@ def c51_loss(
     return loss, jax.lax.stop_gradient(ce)
 
 
+def _quantile_huber(
+    theta: jax.Array, targets: jax.Array, taus: jax.Array,
+    is_weights: jax.Array | None, kappa: float,
+):
+    """Shared pairwise quantile-Huber tail of qr_loss/iqn_loss.
+
+    ``theta`` [B, K_on] online quantiles at the taken actions; ``targets``
+    [B, K_tgt] TD target samples; ``taus`` [K_on] (fixed grid, QR) or
+    [B, K_on] (sampled per example, IQN). Loss = mean over target samples
+    of the sum over online quantiles of the asymmetric Huber
+    (Dabney et al. 2017 eq. 10 / 2018 eq. 3).
+
+    Returns (scalar loss, per-sample loss [B]). The PER priority is the
+    per-sample quantile-Huber loss itself, NOT mean |u| over all pairs:
+    |u| is bounded below by the predicted distribution's spread, which
+    would permanently up-weight high-variance states even at zero TD
+    error (standard QR-DQN+PER practice uses the loss as the signal).
+    """
+    u = targets[:, None, :] - theta[:, :, None]       # [B, K_on, K_tgt]
+    h = huber(u, kappa)
+    t = taus[None, :, None] if taus.ndim == 1 else taus[:, :, None]
+    w = jnp.abs(t - (u < 0.0)) / kappa
+    per_sample = jnp.mean(jnp.sum(w * h, axis=1), axis=1)          # [B]
+    loss = jnp.mean(is_weights * per_sample) if is_weights is not None \
+        else jnp.mean(per_sample)
+    return loss, jax.lax.stop_gradient(per_sample)
+
+
 def qr_loss(
     quantiles_fn,
     params,
@@ -245,19 +273,7 @@ def qr_loss(
 
     theta = jnp.take_along_axis(
         online_q, batch.action[:, None, None], axis=1)[:, 0, :]     # [B, K]
-    # Pairwise TD: u[b, i, j] = target_j - online_i.
-    u = targets[:, None, :] - theta[:, :, None]             # [B, K, K]
-    h = huber(u, kappa)
-    w = jnp.abs(taus[None, :, None] - (u < 0.0)) / kappa
-    per_sample = jnp.mean(jnp.sum(w * h, axis=1), axis=1)   # [B]
-    loss = jnp.mean(is_weights * per_sample) if is_weights is not None \
-        else jnp.mean(per_sample)
-    # PER priority = the per-sample quantile-Huber loss itself, NOT
-    # mean |u| over all KxK pairs: |u| is bounded below by the predicted
-    # distribution's spread, which would permanently up-weight
-    # high-variance states even at zero TD error (standard QR-DQN+PER
-    # practice uses the loss as the priority signal).
-    return loss, jax.lax.stop_gradient(per_sample)
+    return _quantile_huber(theta, targets, taus, is_weights, kappa)
 
 
 def iqn_loss(
@@ -312,15 +328,9 @@ def iqn_loss(
 
     theta = jnp.take_along_axis(
         online_q, batch.action[:, None, None], axis=1)[:, 0, :]   # [B, K]
-    u = targets[:, None, :] - theta[:, :, None]           # [B, K_on, K_tgt]
-    h = huber(u, kappa)
     # Asymmetric weights use the SAMPLED online taus (vs qr_loss's fixed
     # midpoint grid) — the defining IQN difference.
-    w = jnp.abs(taus[:, :, None] - (u < 0.0)) / kappa
-    per_sample = jnp.mean(jnp.sum(w * h, axis=1), axis=1)  # [B]
-    loss = jnp.mean(is_weights * per_sample) if is_weights is not None \
-        else jnp.mean(per_sample)
-    return loss, jax.lax.stop_gradient(per_sample)
+    return _quantile_huber(theta, targets, taus, is_weights, kappa)
 
 
 def polyak_update(target_params, online_params, tau: float):

@@ -265,11 +265,18 @@ def _chunked_sample(
     c = state.capacity
     k = _chunk_size(c)
     m = c // k
-    seg = state.total / batch_size
-    offsets = jnp.arange(batch_size, dtype=jnp.float32)
-    v = (offsets + u) * seg                                   # [B]
-
     cums = jnp.cumsum(state.chunk_sum)                        # [M]
+    # The segment width MUST come from the same sequential cumsum the
+    # selection compares against: jnp.sum(chunk_sum) (state.total) is a
+    # tree reduction that can exceed cums[-1] by an f32 ulp, pushing the
+    # top stratified draws past every chunk edge — the edge clips then
+    # land on an empty trailing chunk/leaf and sample priority-0
+    # (never-written) slots while the buffer is still filling.
+    total = cums[-1]
+    seg = total / batch_size
+    offsets = jnp.arange(batch_size, dtype=jnp.float32)
+    v = jnp.minimum((offsets + u) * seg, total)               # [B]
+
     chunk = jnp.sum((cums[None, :] < v[:, None]).astype(jnp.int32), axis=1)
     chunk = jnp.minimum(chunk, m - 1)                         # float-edge clip
     base = jnp.where(chunk > 0, cums[jnp.maximum(chunk - 1, 0)], 0.0)
@@ -277,6 +284,10 @@ def _chunked_sample(
 
     rows = state.priority.reshape(m, k)[chunk]                # [B, K]
     rcum = jnp.cumsum(rows, axis=1)                           # [B, K]
+    # Same ulp hazard within the chunk: v_in is bounded by the STORED
+    # chunk_sum, which can exceed this row cumsum's last entry; clamp so
+    # equality selects the first leaf reaching the total (a written one).
+    v_in = jnp.minimum(v_in, rcum[:, -1])
     off = jnp.sum((rcum < v_in[:, None]).astype(jnp.int32), axis=1)
     off = jnp.minimum(off, k - 1)
     leaf_idx = chunk * k + off

@@ -97,36 +97,58 @@ def save_full(path: str, payload_tree, meta: dict) -> None:
     _atomic_write(path, blob)
 
 
-def _migrate_heap_trees(node: Any) -> Any:
+def _migrate_heap_trees(node: Any, ndev: int = 1) -> Any:
     """Rewrite heap-format PER trees inside a restored state dict into the
     chunked format (ops/sum_tree.py). The heap leaves carry the full
     information, so the conversion is exact; it lets full checkpoints
     written before the chunked tree became the default resume seamlessly
     (the reverse — chunked payload into a heap template — is intentionally
-    unsupported: set MDRLRMC_PER_TREE=heap only for fresh runs)."""
+    unsupported: set MDRLRMC_PER_TREE=heap only for fresh runs).
+
+    ``ndev`` > 1: a DP-mesh save gathers the PER trees as ``ndev``
+    CONCATENATED per-shard heaps (shard_map P(axis) layout,
+    sim/distributed.py save_full). Treating that as one heap would read
+    shard 0's internal nodes as leaf priorities and drop the other
+    shards, so each shard's heap is converted independently and the
+    chunked arrays re-concatenated in the same shard order (matching the
+    chunked template's global layout)."""
     from ..ops import sum_tree as st
 
     if isinstance(node, dict):
         if set(node) == {"sum_tree", "max_tree", "min_tree"}:
-            heap = st.SumTreeState(**{k: np.asarray(v) for k, v in node.items()})
-            return serialization.to_state_dict(_numpyify(st.heap_to_chunked(heap)))
-        return {k: _migrate_heap_trees(v) for k, v in node.items()}
+            parts = []
+            for i in range(ndev):
+                heap = st.SumTreeState(**{
+                    k: np.asarray(v).reshape(ndev, -1)[i]
+                    for k, v in node.items()})
+                parts.append(_numpyify(st.heap_to_chunked(heap)))
+            merged = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs), *parts)
+            return serialization.to_state_dict(merged)
+        return {k: _migrate_heap_trees(v, ndev) for k, v in node.items()}
     return node
 
 
-def load_full(path: str, template_tree):
+def load_full(path: str, template_tree, ndev: int = 1):
     """Restore a full checkpoint onto a freshly-built template pytree
-    (shapes/structure source). Returns (payload, meta)."""
+    (shapes/structure source). Returns (payload, meta).
+
+    ``ndev``: dp-shard count of the SAVED payload, used only for
+    heap→chunked PER-tree migration of sharded saves; the value recorded
+    in the checkpoint's meta (sim/distributed.py save_full) wins when
+    present."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     state_dict = payload["payload"]
+    meta = dict(payload["meta"])
     # Heap→chunked PER-tree migration, only when the template expects the
     # chunked format (pytree node types are invisible in the state dict, so
     # consult the template's structure).
     if "ChunkedTreeState" in str(jax.tree_util.tree_structure(template_tree)):
-        state_dict = _migrate_heap_trees(state_dict)
+        state_dict = _migrate_heap_trees(
+            state_dict, int(meta.get("ndev", ndev)))
     tree = serialization.from_state_dict(template_tree, state_dict)
-    return tree, dict(payload["meta"])
+    return tree, meta
 
 
 def peek_meta(path: str) -> dict:

@@ -219,6 +219,9 @@ class DistributedDeviceTrainer:
         checkpoint.save_full(path, carry, {
             "env_steps": int(env_steps),
             "step": int(carry.train_state.step),
+            # Shard count of the gathered P(axis) arrays — load_full needs
+            # it to migrate per-shard heap PER trees correctly.
+            "ndev": int(self.ndev),
         })
         return path
 
@@ -231,6 +234,6 @@ class DistributedDeviceTrainer:
 
         template = self.init_carry()
         carry, meta = checkpoint.load_full(
-            checkpoint.full_path(self.cfg), template)
+            checkpoint.full_path(self.cfg), template, ndev=self.ndev)
         carry = jax.device_put(carry, self._carry_shardings)
         return carry, meta

@@ -167,9 +167,10 @@ class DeviceTrainer:
     # Env steps between step-tagged pack copies. Distributional heads peak
     # early and degrade (BENCHMARKS.md) — a denser grid via
     # MDRLRMC_SNAPSHOT_EVERY gives the eval-based snapshot selection more
-    # candidates without touching the default long-run cadence.
-    SNAPSHOT_EVERY = int(os.environ.get("MDRLRMC_SNAPSHOT_EVERY",
-                                        1_000_000))
+    # candidates without touching the default long-run cadence. The env
+    # var is read at USE time (like MDRLRMC_FULL_SAVE_EVERY/_PER_TREE),
+    # so in-process setters and monkeypatch.setenv behave as expected.
+    SNAPSHOT_EVERY = 1_000_000
 
     def _fresh_carry(self) -> Carry:
         self.rng, r_env, r_state = jax.random.split(self.rng, 3)
@@ -307,7 +308,8 @@ class DeviceTrainer:
                 # save); tagged packs let eval pick the best checkpoint.
                 # Tags are GLOBAL steps: a resumed run continues the
                 # sequence instead of re-writing earlier snapshots.
-                se = self.SNAPSHOT_EVERY
+                se = int(os.environ.get("MDRLRMC_SNAPSHOT_EVERY",
+                                        self.SNAPSHOT_EVERY))
                 if genv // se > (genv - save_iters * self.batch) // se:
                     import shutil
                     pack = checkpoint.pack_path(self.cfg)

@@ -28,8 +28,10 @@ CONFIGS = [
     ("rainbow/qr_lr5_s1", "QR, 51 quantiles, lr 5e-5, seed 1"),
     ("rainbow/noisyc51_lr5", "Noisy + C51 [-45,60], lr 5e-5 (Rainbow)"),
     ("rainbow/iqn_lr5", "IQN, 51 tau samples, lr 5e-5"),
-    ("rainbow/noisy_s1", "NoisyNet (sigma0 0.5), seed 1"),
+    # save/noisy above is already seed 1; the extra robustness seeds are
+    # 2 and 3 (run_rainbow2.sh).
     ("rainbow/noisy_s2", "NoisyNet (sigma0 0.5), seed 2"),
+    ("rainbow/noisy_s3", "NoisyNet (sigma0 0.5), seed 3"),
 ]
 
 

@@ -16,21 +16,28 @@ while :; do
     mkdir -p "$logd"
     [ -f "evaluation/results/results_DQNAgent$tag.csv" ] && continue
     if [ ! -f "$d/DONE" ]; then pending=1; continue; fi
-    echo "=== $tag sweep $(date) ==="
-    wd=/tmp/snapshot_eval_$tag
-    python scripts/eval_snapshots.py "$d" -n 20 --algo "$algo" \
-        --workdir "$wd" > "$logd/sweep.log" 2>&1
-    cp "$wd/summary.csv" "$logd/sweep_summary.csv"
+    # Failure guard + sweep reuse (same pattern as eval_rainbow.sh): a
+    # transient eval failure must retry WITHOUT re-running the whole
+    # multi-minute snapshot sweep every loop iteration.
+    if [ ! -f "$logd/sweep_summary.csv" ]; then
+      echo "=== $tag sweep $(date) ==="
+      wd=/tmp/snapshot_eval_$tag
+      python scripts/eval_snapshots.py "$d" -n 20 --algo "$algo" \
+          --workdir "$wd" > "$logd/sweep.log" 2>&1 \
+          || { pending=1; continue; }
+      cp "$wd/summary.csv" "$logd/sweep_summary.csv"
+    fi
     best=$(python - <<PY
 import pandas as pd
 t = pd.read_csv("$logd/sweep_summary.csv")
 print(t.loc[t["delay"].idxmin(), "pack"])
 PY
 )
+    [ -n "$best" ] || { pending=1; continue; }
     echo "=== $tag best: $best; 50-ep eval $(date) ==="
     python evaluate.py -s DQNAgent -n 50 --master-seed 42 --backend native \
         -d "$d/$best" --tag "$tag" -o evaluation/results \
-        > "$logd/eval50.log" 2>&1
+        > "$logd/eval50.log" 2>&1 || { pending=1; continue; }
     echo "=== $tag done $(date) ==="
   done
   [ "$pending" -eq 0 ] && break

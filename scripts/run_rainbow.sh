@@ -8,6 +8,10 @@
 # sweep) and eval-based snapshot selection needs a dense grid.
 # Companion CPU-side eval: scripts/eval_rainbow.sh.
 cd /root/repo
+# Write our own pidfile: run_rainbow2.sh serializes on it (one TPU
+# process at a time), and relying on the launcher to write it is exactly
+# what breaks after a VM reprovision wipes /tmp.
+echo $$ > /tmp/rainbow_driver.pid
 export PYTHONPATH=/root/repo:/root/.axon_site
 export MDRLRMC_SNAPSHOT_EVERY=250000
 

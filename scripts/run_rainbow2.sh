@@ -5,9 +5,12 @@
 # rests on one training seed). Waits for the run_rainbow.sh driver
 # (pidfile /tmp/rainbow_driver.pid) so only one TPU process exists.
 cd /root/repo
+echo $$ > /tmp/rainbow2_driver.pid
 export PYTHONPATH=/root/repo:/root/.axon_site
 export MDRLRMC_SNAPSHOT_EVERY=250000
 
+# run_rainbow.sh writes /tmp/rainbow_driver.pid itself (start this script
+# only after it, so a missing pidfile means the driver already exited).
 while kill -0 "$(cat /tmp/rainbow_driver.pid 2>/dev/null)" 2>/dev/null; do
   sleep 60
 done

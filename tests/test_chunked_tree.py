@@ -178,3 +178,65 @@ def test_replay_kind_selection():
         replay.init_per(8, 2, tree_kind="chunked").tree, st.ChunkedTreeState
     )
     assert isinstance(replay.init_per(8, 2).tree, st.ChunkedTreeState)  # default
+
+
+def test_partial_fill_never_samples_empty_slots():
+    """f32 regression: ``jnp.sum(chunk_sum)`` (a tree reduction) can exceed
+    the sequential cumsum's last entry by an ulp (seed 0 below measures a
+    +0.0078 gap at 128 chunks), so deriving the stratified segment width
+    from it pushed the top draws (u -> 1) past every chunk edge and the
+    edge clips landed on never-written (priority-0) trailing slots —
+    exactly the default-PER fill phase. The sampler must derive the
+    segment width from the same cumsum it selects against and clamp both
+    levels."""
+    cap, filled = 1 << 17, 77 * 1024          # 128 chunks, 77 written
+    k = st._chunk_size(cap)
+    m = cap // k
+    leaves = np.zeros(cap, np.float32)
+    leaves[:filled] = np.random.default_rng(0).uniform(
+        0.5, 1.5, filled).astype(np.float32)
+    lj = jnp.asarray(leaves)
+    rows = lj.reshape(m, k)
+    tree = st.ChunkedTreeState(
+        priority=lj,
+        chunk_sum=jnp.sum(rows, axis=1),
+        chunk_max=jnp.max(rows, axis=1),
+        chunk_min=jnp.min(jnp.where(rows > 0.0, rows, jnp.inf), axis=1))
+    # This tree has the hazardous rounding: the tree-reduced total exceeds
+    # the sequential cumsum the sampler compares against.
+    assert float(jnp.sum(tree.chunk_sum)) > float(jnp.cumsum(tree.chunk_sum)[-1])
+    # u = 1.0 is the top of the stratified interval (reachable both by an
+    # f32 uniform draw rounding up and by product rounding in v).
+    idx, pr = st.sample(tree, jnp.ones(64, jnp.float32), 64)
+    assert int(jnp.max(idx)) < filled, "empty slot sampled"
+    assert float(jnp.min(pr)) > 0.0, "zero priority sampled"
+
+
+def test_sharded_full_checkpoint_migrates_per_shard_heaps(tmp_path):
+    """A DP-mesh full save gathers PER trees as ndev CONCATENATED per-shard
+    heaps (shard_map P(axis) layout). Migration must split per shard: the
+    single-heap reading returns internal node sums as 'priorities' and
+    drops every shard but the first (regression for the silent-corruption
+    path: round-2 heap save on the mesh -> round-3 chunked resume)."""
+    cap, ndev = 8, 2
+    heaps, all_leaves = [], []
+    for d in range(ndev):
+        pri = (jnp.arange(cap) + 1.0 + 10.0 * d).astype(jnp.float32)
+        heaps.append(st.update(st.init(cap), jnp.arange(cap, dtype=jnp.int32), pri))
+        all_leaves.append(np.asarray(pri))
+    gathered = st.SumTreeState(*(
+        jnp.concatenate([getattr(h, f) for h in heaps])
+        for f in ("sum_tree", "max_tree", "min_tree")))
+    path = str(tmp_path / "sharded_full.msgpack")
+    ckpt.save_full(path, {"tree": gathered}, {"step": 3, "ndev": ndev})
+    # Global chunked template: ndev * cap leaves (concatenated shard order).
+    template = {"tree": st.init_chunked(cap * ndev)}
+    restored, _ = ckpt.load_full(path, template)
+    tree = restored["tree"]
+    expect = np.concatenate(all_leaves)
+    np.testing.assert_allclose(np.asarray(tree.priority), expect)
+    np.testing.assert_allclose(float(tree.total), expect.sum(), rtol=1e-6)
+    # Without meta ndev, the caller-passed shard count must be honored too.
+    ckpt.save_full(path, {"tree": gathered}, {"step": 3})
+    restored2, _ = ckpt.load_full(path, template, ndev=ndev)
+    np.testing.assert_allclose(np.asarray(restored2["tree"].priority), expect)
