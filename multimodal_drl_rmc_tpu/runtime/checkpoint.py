@@ -160,11 +160,25 @@ def peek_meta(path: str) -> dict:
         return dict(serialization.msgpack_restore(f.read())["meta"])
 
 
+def _pack_spec(cfg: Config):
+    """cfg.net reconciled with the algo's flags (agents.dqn.spec_for_algo).
+
+    The pack codec's key set depends on the spec (packio._torch_keys):
+    the IQN head adds a ``tau_embed`` layer that the raw cfg.net (default
+    dist_kind="c51", n_atoms=1) doesn't know about, so saving with
+    cfg.net silently dropped that layer and the reconciled reader then
+    failed with KeyError 'tau_embed.weight'. Lazy import: agents.dqn
+    does not import runtime, but keep the cycle risk out of module load."""
+    from ..agents.dqn import spec_for_algo
+    spec, _ = spec_for_algo(cfg)
+    return spec
+
+
 def export_pack(cfg: Config, state, *, rew_mean: float = 0.0,
                 len_mean: float = 0.0, episode_count: int = 0) -> str:
     path = pack_path(cfg)
     packio.save_pack(
-        path, state.params, cfg.net,
+        path, state.params, _pack_spec(cfg),
         step=int(state.step), episode_count=episode_count,
         rew_mean=rew_mean, len_mean=len_mean,
     )
@@ -186,7 +200,7 @@ def try_resume(cfg: Config, template_state):
         return load_train_state(sp, template_state)
     pp = pack_path(cfg)
     if os.path.isfile(pp):
-        params, meta = packio.load_pack(pp, cfg.net)
+        params, meta = packio.load_pack(pp, _pack_spec(cfg))
         state = template_state._replace(
             params=params,
             target_params=jax.tree_util.tree_map(np.copy, params),

@@ -95,6 +95,34 @@ class _FakeStats:
     count = 3
 
 
+def test_export_pack_iqn_reconciled_spec(tmp_path):
+    """export_pack must save with the algo-reconciled spec, not the raw
+    cfg.net: the IQN head is the one family whose pack KEY SET depends on
+    the spec (tau_embed), so saving with cfg.net (default c51/n_atoms=1)
+    silently dropped the layer and every reader that reconstructs the
+    spec from the algo name (PolicyRunner, eval_snapshots) then died with
+    KeyError 'tau_embed.weight'. Regression for the round-3 IQN sweep."""
+    cfg = tiny_cfg(tmp_path, algo="IqnDuelingDQNAgent")
+    learner = make_learner(cfg)
+    import jax
+
+    state = learner.init_state(jax.random.PRNGKey(0))
+    pack = checkpoint.export_pack(cfg, state)
+    from multimodal_drl_rmc_tpu.models import packio
+
+    with open(pack, "rb") as f:
+        payload = packio.unpack_bytes(f.read())
+    assert "tau_embed.weight" in payload["parameters"]
+    # The production read path (spec rebuilt from the pack filename).
+    runner = PolicyRunner(pack, backend="fake", cfg=cfg)
+    orig = jax.tree_util.tree_leaves(state.params)
+    loaded = jax.tree_util.tree_leaves(runner.params)
+    assert len(orig) == len(loaded)
+    for a, b in zip(orig, loaded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    runner.close()
+
+
 def test_policy_runner_episode(tmp_path):
     cfg = tiny_cfg(tmp_path)
     learner = make_learner(cfg)
