@@ -476,7 +476,103 @@ SWEEP_LABELS = {
     "logs/dist_sweep/c51_lr5": "C51 lr 5e-5",
     "logs/dist_sweep/qr_k32": "QR 32-quantile",
     "logs/dist_sweep/qr_lr5": "QR lr 5e-5",
+    "logs/rainbow/noisy_s2": "NoisyNet seed 2",
+    "logs/rainbow/noisy_s3": "NoisyNet seed 3",
+    "logs/rainbow/noisyqr_lr5": "NoisyQr lr 5e-5",
+    "logs/rainbow/noisyc51_lr5": "NoisyC51 lr 5e-5",
+    "logs/rainbow/qr_lr5_s1": "QR lr 5e-5 seed 1",
+    "logs/rainbow/iqn_lr5": "IQN lr 5e-5",
+    "logs/rainbow/noisyqr63": "NoisyQr 6.3M",
+    "logs/reval/qr_lr5": "QR lr 5e-5 (fixed sampler)",
+    "logs/reval/seed3": "flagship seed 3 (fixed sampler)",
+    "logs/reval/noisy63": "NoisyNet 6.3M (fixed sampler)",
 }
+
+# Agent-zoo rows: results tag -> (label, family). Families group the
+# hues: flagship seeds, exploration (NoisyNet), distributional heads,
+# observation variants, ablations.
+ZOO = {
+    "DQNAgentLong": ("flagship seed 0 · 6.3M", "flagship"),
+    "DQNAgentSeed1": ("flagship seed 1", "flagship"),
+    "DQNAgentSeed2": ("flagship seed 2", "flagship"),
+    "DQNAgentSeed3": ("flagship seed 3", "flagship"),
+    "DQNAgentNoisy": ("NoisyNet 2.1M", "noisy"),
+    "DQNAgentNoisyS2": ("NoisyNet 2.1M seed 2", "noisy"),
+    "DQNAgentNoisyS3": ("NoisyNet 2.1M seed 3", "noisy"),
+    "DQNAgentNoisy63": ("NoisyNet 6.3M", "noisy"),
+    "DQNAgentNoisyQr": ("NoisyQr 2.1M", "dist"),
+    "DQNAgentNoisyQr63": ("NoisyQr 6.3M", "dist"),
+    "DQNAgentNoisyC51": ("NoisyC51 2.1M", "dist"),
+    "DQNAgentQr": ("QR 6.3M (best 2M)", "dist"),
+    "DQNAgentQrLr5": ("QR lr5e-5", "dist"),
+    "DQNAgentQrLr5S1": ("QR lr5e-5 seed 1", "dist"),
+    "DQNAgentIqn": ("IQN 2.1M", "dist"),
+    "DQNAgentC51": ("C51 (recalibrated)", "dist"),
+    "DQNAgent": ("1-step 2.1M", "ablation"),
+    "DQNAgentNStep3": ("n-step 3, 2.1M", "ablation"),
+    "DQNAgentPer": ("PER 2.1M", "ablation"),
+    "DQNAgentMacroLane": ("macro-lane MLP", "variant"),
+    "DQNAgentMacroNoLane": ("macro-no-lane MLP", "variant"),
+}
+
+FAMILY_HUE = {"flagship": ACCENT, "noisy": "#1e9e8b", "dist": "#7c4dbe",
+              "ablation": "#8a7a1e", "variant": "#566a7a"}
+
+
+def agent_zoo(results_dir: str, out: str) -> str | None:
+    """Every trained agent on one axis (role of the reference's
+    `plots/overall_comparison/drl_models/*`): mean eval delay with a
+    95% t-CI per 50-episode results CSV, rows sorted best-first and
+    hued by family, with the classical-controller band for context.
+    The one-figure answer to "which agent should I deploy?"."""
+    import numpy as np
+    from scipy import stats as _st
+
+    rows = []
+    for tag, (label, fam) in ZOO.items():
+        p = os.path.join(results_dir, f"results_{tag}.csv")
+        if not os.path.isfile(p):
+            continue
+        d = pd.read_csv(p)["avg_time_loss"]
+        ci = float(_st.t.ppf(0.975, len(d) - 1)) * d.std(ddof=1) / np.sqrt(len(d))
+        rows.append((label, fam, d.mean(), ci))
+    if len(rows) < 3:
+        return None
+    rows.sort(key=lambda r: r[2])
+
+    fig, ax = plt.subplots(figsize=(8, 0.34 * len(rows) + 1.9))
+    ys = range(len(rows))[::-1]
+    # Classical context lines.
+    for strat, style in (("FixedCycleBaseline", "--"),
+                         ("AlineaDsBaseline", ":")):
+        p = os.path.join(results_dir, f"results_{strat}.csv")
+        if os.path.isfile(p):
+            v = pd.read_csv(p)["avg_time_loss"].mean()
+            ax.axvline(v, color=INK2, linewidth=1.0, linestyle=style)
+            ax.annotate(f" {SHORT.get(strat, strat)} {v:.1f}",
+                        (v, len(rows) - 0.4), fontsize=7.5, color=INK2,
+                        rotation=90, va="top", ha="right")
+    for y, (label, fam, m, ci) in zip(ys, rows):
+        c = FAMILY_HUE[fam]
+        ax.plot([m - ci, m + ci], [y, y], color=c, linewidth=2.2,
+                solid_capstyle="butt", alpha=0.45)
+        ax.plot([m], [y], "o", color=c, markersize=5.5)
+        ax.text(m, y + 0.34, f"{m:.2f}", ha="center", fontsize=7,
+                color=INK2)
+    ax.set_yticks(list(ys), [r[0] for r in rows], fontsize=8.5, color=INK)
+    for t, (_, fam, _, _) in zip(ax.get_yticklabels(), rows):
+        t.set_color(FAMILY_HUE[fam])
+    ax.set_xlabel("eval avg delay (s/veh, mean ± 95% t-CI, "
+                  "50 seeded episodes)", fontsize=9, color=INK)
+    ax.set_title("Agent zoo — every trained agent on the same seeded "
+                 "evaluation", fontsize=10, color=INK, loc="left")
+    _style(ax)
+    ax.xaxis.grid(True, color="#e8e7e2", linewidth=0.6)
+    ax.yaxis.grid(False)
+    fig.tight_layout()
+    fig.savefig(out, dpi=150)
+    plt.close(fig)
+    return out
 
 
 def snapshot_curves(results_dir: str, out: str,
@@ -573,6 +669,7 @@ def main(results_dir: str = "evaluation/results",
             results_dir, os.path.join(out_dir, "experiment_conditions.png")),
         snapshot_curves(
             results_dir, os.path.join(out_dir, "snapshot_curves.png")),
+        agent_zoo(results_dir, os.path.join(out_dir, "agent_zoo.png")),
     ]
     if os.path.isfile(os.path.join(results_dir, "results_DQNAgentLong.csv")):
         t = sensitivity(results_dir,
