@@ -16,7 +16,7 @@ echo "== Python deps (TPU) =="
 # jax[tpu] pin is the deployment's choice; everything else is pure-Python.
 $PYTHON -m pip install --upgrade \
     "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
-    flax optax chex einops numpy pandas matplotlib msgpack pytest \
+    flax optax chex einops numpy pandas scipy matplotlib msgpack pytest \
     "torch --index-url https://download.pytorch.org/whl/cpu" || {
   echo "pip install failed — in hermetic images the deps are pre-baked; continuing"
 }

@@ -13,7 +13,14 @@ echo $$ > /tmp/chipqueue_r3b.pid
 export PYTHONPATH=/root/repo:/root/.axon_site
 export MDRLRMC_SNAPSHOT_EVERY=250000
 
-while kill -0 "$(cat /tmp/iqn2_driver.pid 2>/dev/null)" 2>/dev/null; do
+# Gate on BOTH the launcher pidfile and the watchdog's trainer pidfile:
+# after a reprovision the launcher pid is gone but a relaunched IQN
+# retrain re-writes /tmp/train_iqn_lr5.pid — waiting on either prevents
+# two TPU processes (CLAUDE.md invariant) regardless of which survived.
+# If the IQN run is already DONE, don't wait at all.
+while [ ! -f save/rainbow/iqn_lr5/DONE ] && {
+    kill -0 "$(cat /tmp/iqn2_driver.pid 2>/dev/null)" 2>/dev/null ||
+    kill -0 "$(cat /tmp/train_iqn_lr5.pid 2>/dev/null)" 2>/dev/null; }; do
   sleep 60
 done
 
