@@ -77,10 +77,11 @@ ALGO_FLAGS = {
     # a distributional head, on top of double + dueling + PER + n-step.
     "NoisyQrDuelingDQNAgent": (True, True, True, "qr"),
     "NoisyC51DuelingDQNAgent": (True, True, True, "c51"),
+    "NoisyIqnDuelingDQNAgent": (True, True, True, "iqn"),
 }
 
 NOISY_ALGOS = {"NoisyPerDuelingDQNAgent", "NoisyQrDuelingDQNAgent",
-               "NoisyC51DuelingDQNAgent"}
+               "NoisyC51DuelingDQNAgent", "NoisyIqnDuelingDQNAgent"}
 
 
 class DQNLearner(NamedTuple):
@@ -109,9 +110,6 @@ def spec_for_algo(cfg: Config):
     if noisy and not dueling:
         raise ValueError("noisy heads require a dueling network (only the "
                          "dueling head builders wire NoisyDense)")
-    if noisy and dist == "iqn":
-        raise ValueError("noisy heads are not wired for the IQN network "
-                         "(IqnQNetwork builds plain Dense heads)")
     want_atoms = (spec.n_atoms if spec.n_atoms > 1 else 51) if dist else 1
     want_kind = dist if dist else spec.dist_kind
     if spec.dueling != dueling or spec.n_atoms != want_atoms \
@@ -141,14 +139,22 @@ def make_loss_fn(net, apply_fn, spec, gamma_n: float, double: bool,
     QR quantile-Huber); shared by the single-chip and DP learner builders.
     ``rng`` feeds the NoisyNet 'noise' collection and is ignored otherwise."""
     if dist == "iqn":
-        quant_at = lambda p, x, t: net.apply(p, x, t, method=net.quantiles_at)
+        if spec.noisy:
+            # Full-Rainbow NoisyIqn: the head fn takes a noise key and
+            # iqn_loss draws independent online/target noise alongside
+            # its tau samples.
+            quant_at = lambda p, x, t, key: net.apply(
+                p, x, t, method=net.quantiles_at, rngs={"noise": key})
+        else:
+            quant_at = lambda p, x, t: net.apply(p, x, t,
+                                                 method=net.quantiles_at)
 
         def loss(params, target_params, batch, is_w, rng=None):
             if rng is None:
                 raise ValueError("iqn loss requires an rng (sampled taus)")
             return iqn_loss(quant_at, params, target_params, batch,
                             gamma_n, rng, n_taus=spec.n_atoms, double=double,
-                            is_weights=is_w)
+                            is_weights=is_w, noisy=spec.noisy)
     elif dist == "qr":
         # spec.noisy = full Rainbow: the head fn takes a noise key and
         # qr_loss/c51_loss draw independent online/target noise, mirroring

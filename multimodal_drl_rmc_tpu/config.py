@@ -270,6 +270,7 @@ ALGO_NAMES = (
     "NoisyPerDuelingDQNAgent",
     "NoisyQrDuelingDQNAgent",
     "NoisyC51DuelingDQNAgent",
+    "NoisyIqnDuelingDQNAgent",
 )
 
 

@@ -331,12 +331,20 @@ class IqnQNetwork(nn.Module):
         dt = _dtype(self.spec)
         feat = (self.spec.dense[-1] if self.spec.kind == "two_stream_hybrid"
                 else self.spec.mlp_hidden[-1])
+        # tau_embed stays a plain Dense even under spec.noisy: the cosine
+        # embedding is shared deterministic structure; the Rainbow noisy
+        # composition perturbs the OUTPUT heads (mirrors _make_dist_heads).
         self.tau_embed = nn.Dense(feat, dtype=dt, name="tau_embed")
-        if self.spec.dueling:
-            self.fc_val = nn.Dense(1, dtype=dt, name="fc_val")
-            self.fc_adv = nn.Dense(self.n_actions, dtype=dt, name="fc_adv")
+        if self.spec.noisy:
+            dense = lambda f, name: NoisyDense(f, self.spec.noisy_sigma0,
+                                               dt, name=name)
         else:
-            self.fc_out = nn.Dense(self.n_actions, dtype=dt, name="fc_out")
+            dense = lambda f, name: nn.Dense(f, dtype=dt, name=name)
+        if self.spec.dueling:
+            self.fc_val = dense(1, "fc_val")
+            self.fc_adv = dense(self.n_actions, "fc_adv")
+        else:
+            self.fc_out = dense(self.n_actions, "fc_out")
 
     def quantiles_at(self, x: jax.Array, taus: jax.Array) -> jax.Array:
         """x [B, D], taus [B, K] -> quantile values [B, A, K]."""

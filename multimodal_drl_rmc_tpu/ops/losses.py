@@ -288,6 +288,7 @@ def iqn_loss(
     double: bool = True,
     is_weights: jax.Array | None = None,
     kappa: float = 1.0,
+    noisy: bool = False,
 ):
     """IQN quantile-Huber loss (Dabney et al. 2018 eq. 3) with SAMPLED
     quantile fractions: fresh taus ~ U(0,1) per call for the online
@@ -299,25 +300,36 @@ def iqn_loss(
     ``rng`` is REQUIRED (three independent tau draws). Returns
     (scalar loss, per-sample loss [B]) — the PER priority signal, like
     ``qr_loss``.
+
+    With ``noisy`` (full-Rainbow NoisyIqn), ``quantiles_at_fn`` is
+    (params, x, taus, key) and the online and target networks draw
+    INDEPENDENT head-noise samples, matching ``qr_loss``'s noisy path.
     """
     b = batch.obs.shape[0]
     k_on, k_tgt, k_sel = jax.random.split(rng, 3)
+    if noisy:
+        k_on, kn_on = jax.random.split(k_on)
+        k_tgt, kn_tgt = jax.random.split(k_tgt)
+        fwd_target = lambda p, x, t: quantiles_at_fn(p, x, t, kn_tgt)
+        fwd_online = lambda p, x, t: quantiles_at_fn(p, x, t, kn_on)
+    else:
+        fwd_target = fwd_online = quantiles_at_fn
     taus = jax.random.uniform(k_on, (b, n_taus))          # online, trained
     taus_t = jax.random.uniform(k_tgt, (b, n_taus))       # target quantiles
     target_q_next = jax.lax.stop_gradient(
-        quantiles_at_fn(target_params, batch.next_obs, taus_t))  # [B, A, K]
+        fwd_target(target_params, batch.next_obs, taus_t))       # [B, A, K]
     if double:
         # One online forward over [s; s'] (same fusion as qr_loss); the
         # next-state half uses its own tau draw for the mean-Q estimate.
         taus_sel = jax.random.uniform(k_sel, (b, n_taus))
-        both = quantiles_at_fn(
+        both = fwd_online(
             params,
             jnp.concatenate([batch.obs, batch.next_obs], axis=0),
             jnp.concatenate([taus, taus_sel], axis=0))
         online_q = both[:b]
         q_next = jnp.mean(jax.lax.stop_gradient(both[b:]), axis=-1)
     else:
-        online_q = quantiles_at_fn(params, batch.obs, taus)
+        online_q = fwd_online(params, batch.obs, taus)
         q_next = jnp.mean(target_q_next, axis=-1)
     best = jnp.argmax(q_next, axis=-1)                    # [B]
     theta_next = jnp.take_along_axis(

@@ -205,13 +205,16 @@ def test_noisy_net_exploration_and_sigma_learning():
 
 
 @pytest.mark.parametrize("algo,kind", [("NoisyQrDuelingDQNAgent", "qr"),
-                                       ("NoisyC51DuelingDQNAgent", "c51")])
+                                       ("NoisyC51DuelingDQNAgent", "c51"),
+                                       ("NoisyIqnDuelingDQNAgent", "iqn")])
 def test_noisy_distributional_full_rainbow(algo, kind):
     """Full-Rainbow composition (noisy heads over a distributional head):
     sigma params exist on both K-atom heads and move under training,
     exploration varies across noise draws but is deterministic per draw,
     greedy eval uses mean weights, and the .pack round-trip preserves the
-    greedy policy (sigma rides alongside the mu weights)."""
+    greedy policy (sigma rides alongside the mu weights). NoisyIqn: the
+    noisy heads sit over the implicit-quantile network — per-tau output
+    width n_actions, tau_embed stays a plain (noise-free) Dense."""
     from multimodal_drl_rmc_tpu.models import packio
 
     cfg = tiny_config(algo)
@@ -223,7 +226,13 @@ def test_noisy_distributional_full_rainbow(algo, kind):
     p = state.params["params"]
     for head in ("fc_val", "fc_adv"):
         assert "kernel_sigma" in p[head] and "bias_sigma" in p[head]
-    assert p["fc_adv"]["kernel"].shape[-1] == 8 * spec.n_atoms
+    if kind == "iqn":
+        # Implicit head: per-tau width is n_actions; cosine embedding
+        # is deterministic shared structure (no sigma).
+        assert p["fc_adv"]["kernel"].shape[-1] == 8
+        assert "kernel_sigma" not in p["tau_embed"]
+    else:
+        assert p["fc_adv"]["kernel"].shape[-1] == 8 * spec.n_atoms
 
     obs = jax.random.uniform(jax.random.PRNGKey(1), (64, 8))
     a1 = learner.select_actions(state, obs, jax.random.PRNGKey(2))
