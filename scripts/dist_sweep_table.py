@@ -32,6 +32,13 @@ CONFIGS = [
     # 2 and 3 (run_rainbow2.sh).
     ("rainbow/noisy_s2", "NoisyNet (sigma0 0.5), seed 2"),
     ("rainbow/noisy_s3", "NoisyNet (sigma0 0.5), seed 3"),
+    # Late round-3 chip queues (r3b/r3c/r3d).
+    ("rainbow/noisyqr63", "Noisy + QR 51, lr 5e-5, 6.3M budget"),
+    ("rainbow/noisyiqn_lr5", "Noisy + IQN 51, lr 5e-5 (full Rainbow)"),
+    ("rainbow/noisyqr_s2", "Noisy + QR 51, lr 5e-5, seed 2"),
+    ("rainbow/noisyqr_s3", "Noisy + QR 51, lr 5e-5, seed 3"),
+    ("rainbow/iqn_s2", "IQN, 51 tau samples, lr 5e-5, seed 2"),
+    ("rainbow/noisyiqn_s2", "Noisy + IQN 51, lr 5e-5, seed 2"),
 ]
 
 
