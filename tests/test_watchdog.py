@@ -66,7 +66,11 @@ def test_watchdog_kills_silent_log_hang_despite_cpu_ticks(tmp_path):
     log = tmp_path / "train.log"
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/train_watchdog.py"),
-         "--stall-seconds", "60", "--progress-stall-seconds", "3",
+         # 8 s, not 3: under CPU contention (chip trainer + eval sweeps
+         # on this 1-core box) interpreter startup of the resumed child
+         # can exceed 3 s, so every resume gets killed before it prints
+         # and the watchdog exhausts its restarts — observed flake.
+         "--stall-seconds", "60", "--progress-stall-seconds", "8",
          "--poll", "0.5",
          "--pidfile", str(tmp_path / "pid"), "--log", str(log),
          "--", str(child), "-load", "false"],
