@@ -130,16 +130,33 @@ def bench_torch_cpu_reference() -> float:
 
 
 def main():
+    import os
+
     tpu = bench_tpu()
     try:
         base = bench_torch_cpu_reference()
     except Exception:
         base = float("nan")
+    # The torch-CPU denominator re-measured on the contended single core
+    # swung the reported ratio 251-315x across rounds while the TPU
+    # numerator was stable (352.0k -> 363.2k). The committed
+    # BASELINE_TORCH.json pins a one-time controlled measurement so
+    # vs_baseline is comparable round-over-round BY CONSTRUCTION; the live
+    # re-measurement still ships alongside as a sanity channel.
+    pinned = None
+    pinned_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_TORCH.json")
+    if os.path.isfile(pinned_path):
+        with open(pinned_path) as f:
+            pinned = json.load(f).get("transitions_per_sec")
+    live = round(tpu / base, 2) if base == base else None
     print(json.dumps({
         "metric": "learner replay transitions/sec/chip (hybrid dueling double DQN, bs=32, 1M HBM replay)",
         "value": round(tpu, 1),
         "unit": "transitions/sec/chip",
-        "vs_baseline": round(tpu / base, 2) if base == base else None,
+        "vs_baseline": round(tpu / pinned, 2) if pinned else live,
+        "vs_baseline_live": live,
+        "baseline_pinned": pinned,
     }))
 
 

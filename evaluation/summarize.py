@@ -46,9 +46,16 @@ def main(results_dir: str = "evaluation/results") -> pd.DataFrame:
     rows = []
     for s in ordered:
         df = pd.read_csv(found[s])
+        d = df["avg_time_loss"]
+        k = max(1, len(d) // 10)
+        # Tail columns (worst episode / CVaR@10 = mean of worst decile):
+        # the held-out study showed mean-selected agents hiding 87-106
+        # s/veh catastrophic episodes — a deploy decision needs the tail.
         rows.append({"strategy": s, "episodes": len(df),
                      **{label: df[col].mean() for col, label in COLUMNS.items()
-                        if col in df.columns}})
+                        if col in df.columns},
+                     "Worst delay": d.max(),
+                     "CVaR@10 delay": d.nlargest(k).mean()})
     table = pd.DataFrame(rows)
     pd.set_option("display.width", 220)
     print(table.round(2).to_string(index=False))
@@ -151,6 +158,7 @@ def seeds(results_dir: str = "evaluation/results",
             "train seed": name, "episodes": len(common),
             "TTT (s)": df.loc[common, "total_travel_time"].mean(),
             "Delay (s/veh)": df.loc[common, "avg_time_loss"].mean(),
+            "Worst delay": df.loc[common, "avg_time_loss"].max(),
             "Spillback (s)": df.loc[common, "total_spillback_time_sec"].mean(),
             "Merge speed": df.loc[common,
                                   "avg_mainline_speed_mergeArea_km/h"].mean(),

@@ -316,6 +316,12 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
                              "workers (reference SubprocVecEnv) for "
                              "GIL-holding backends like libsumo")
     parser.add_argument("-seed", type=int, default=0)
+    parser.add_argument("-seeds", type=str, default="",
+                        help="comma-separated seed list: train K independent "
+                             "seeds in ONE vmapped XLA program (device "
+                             "backend only). Per-seed outputs go to "
+                             "<save_dir>/s<seed>/ (or a literal {seed} "
+                             "placeholder in -save_dir/-log_dir).")
     parser.add_argument("-profile", type=str, default="",
                         help="write a jax.profiler trace (xprof) to this dir")
     # Distributional-head hyperparameters (C51/QR agents only; ignored by
@@ -342,6 +348,16 @@ def main(argv=None) -> None:
     profile_cm = (_jax.profiler.trace(args.profile)
                   if args.profile else contextlib.nullcontext())
     with profile_cm:
+        if args.seeds:
+            if args.backend != "device":
+                raise SystemExit("-seeds (vmapped multi-seed training) "
+                                 "requires -backend device")
+            from ..sim.train_multiseed import train_multiseed
+
+            seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+            train_multiseed(cfg, seeds,
+                            replay_ratio=float(args.replay_ratio))
+            return
         if args.backend == "device":
             from ..sim.train_on_device import train_on_device
 

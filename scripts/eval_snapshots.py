@@ -82,18 +82,37 @@ def main() -> None:
             raise SystemExit(f"evaluate.py failed for {pack} "
                              f"(rc={proc.returncode})")
         df = pd.read_csv(os.path.join(args.workdir, f"results_DQNAgent{tag}.csv"))
+        d = df["avg_time_loss"]
+        k = max(1, len(d) // 10)
         rows.append({
             "pack": os.path.basename(pack),
             "steps": step_of(pack),
             "TTT": df["total_travel_time"].mean(),
-            "delay": df["avg_time_loss"].mean(),
+            "delay": d.mean(),
+            "worst": d.max(),
+            "cvar10": d.nlargest(k).mean(),
             "throughput": df["total_throughput"].mean(),
         })
         print(f"{rows[-1]['pack']}: TTT {rows[-1]['TTT']:,.0f} "
               f"delay {rows[-1]['delay']:.2f} "
+              f"worst {rows[-1]['worst']:.1f} cvar10 {rows[-1]['cvar10']:.1f} "
               f"thr {rows[-1]['throughput']:,.0f}", flush=True)
-    best = min(rows, key=lambda r: r["delay"])
-    print("\nbest by delay:", best["pack"])
+    # Tail-guarded selection: best mean delay among snapshots whose worst
+    # episode stays within TAIL_SLACK of the sweep's lowest worst episode.
+    # Rationale (BENCHMARKS.md held-out table): mean-only selection shipped
+    # agents with 87-106 s/veh catastrophic modes that only showed up
+    # off-protocol — a snapshot whose IN-protocol tail is already an
+    # outlier is the canary. Falls back to the mean pick if the guard
+    # empties the candidate set (it cannot: the min-worst row qualifies).
+    TAIL_SLACK = 10.0   # s/veh above the sweep's best worst-episode
+    floor = min(r["worst"] for r in rows)
+    guarded = [r for r in rows if r["worst"] <= floor + TAIL_SLACK]
+    best = min(guarded, key=lambda r: r["delay"])
+    best_mean = min(rows, key=lambda r: r["delay"])
+    if best is not best_mean:
+        print(f"\nmean-only pick {best_mean['pack']} REJECTED by tail guard "
+              f"(worst {best_mean['worst']:.1f} > {floor:.1f} + {TAIL_SLACK})")
+    print("\nbest by tail-guarded delay:", best["pack"])
     pd.DataFrame(rows).to_csv(os.path.join(args.workdir, "summary.csv"),
                               index=False)
 

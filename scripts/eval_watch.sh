@@ -48,6 +48,12 @@ while :; do
     best=$(python - <<PY
 import pandas as pd
 t = pd.read_csv("$logd/sweep_summary.csv")
+# Tail-guarded pick (mirrors eval_snapshots.py): best mean among snapshots
+# whose worst episode is within 10 s/veh of the sweep's lowest worst —
+# mean-only picks shipped catastrophic-tail agents (BENCHMARKS.md).
+# Older sweep caches lack the 'worst' column; fall back to mean-only.
+if "worst" in t.columns:
+    t = t[t["worst"] <= t["worst"].min() + 10.0]
 print(t.loc[t["delay"].idxmin(), "pack"])
 PY
 )
