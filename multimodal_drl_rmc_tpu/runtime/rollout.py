@@ -23,6 +23,34 @@ def _wrap(env: GymEnvWrapper, max_steps: int):
     return MaxEpisodeStepsWrapper(env, max_steps) if max_steps > 0 else env
 
 
+def infer_spec_for_pack(model_path: str, obs_variant: str = "hybrid",
+                        n_actions: int = 8):
+    """NetworkSpec for a .pack checkpoint, inferred from its filename algo
+    (+ head width for C51/QR, whose atom count is a spec knob the filename
+    does not carry). Shared by PolicyRunner and the on-device evaluator
+    (sim/eval_on_device.py) so both rebuild the identical network."""
+    algo, _lr = packio.parse_pack_filename(model_path)
+    spec = network_spec_for_variant(obs_variant)
+    dueling = "Dueling" in algo
+    noisy = algo.startswith("Noisy")
+    base_algo = algo[len("Noisy"):] if noisy else algo
+    n_atoms, kind = 1, spec.dist_kind
+    if base_algo.startswith(("C51", "Qr")):
+        n_atoms = packio.peek_head_width(model_path) // n_actions
+        kind = "qr" if base_algo.startswith("Qr") else "c51"
+    elif base_algo.startswith("Iqn"):
+        # IQN taus are inputs, so the head width is just n_actions and
+        # the eval quantile count is a free choice — use the training
+        # default (spec_for_algo's 51-midpoint grid).
+        n_atoms, kind = 51, "iqn"
+    if spec.dueling != dueling or spec.n_atoms != n_atoms \
+            or spec.dist_kind != kind or spec.noisy != noisy:
+        spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
+                             "n_atoms": n_atoms, "dist_kind": kind,
+                             "noisy": noisy})
+    return spec
+
+
 class PolicyRunner:
     """Greedy rollout of a .pack checkpoint (reference Observe)."""
 
@@ -32,27 +60,9 @@ class PolicyRunner:
                  log: bool = False, log_step: int = 0, log_dir: str = "./logs/test/"):
         algo, lr = packio.parse_pack_filename(model_path)
         base_cfg = cfg or Config()
-        spec = network_spec_for_variant(obs_variant)
         dueling = "Dueling" in algo
-        noisy = algo.startswith("Noisy")
-        base_algo = algo[len("Noisy"):] if noisy else algo
-        n_atoms, kind = 1, spec.dist_kind
-        if base_algo.startswith(("C51", "Qr")):
-            # Atom/quantile count is a spec knob, not in the filename —
-            # infer it from the checkpoint's advantage-head width.
-            n_atoms = packio.peek_head_width(model_path) \
-                // base_cfg.env.n_actions
-            kind = "qr" if base_algo.startswith("Qr") else "c51"
-        elif base_algo.startswith("Iqn"):
-            # IQN taus are inputs, so the head width is just n_actions and
-            # the eval quantile count is a free choice — use the training
-            # default (spec_for_algo's 51-midpoint grid).
-            n_atoms, kind = 51, "iqn"
-        if spec.dueling != dueling or spec.n_atoms != n_atoms \
-                or spec.dist_kind != kind or spec.noisy != noisy:
-            spec = type(spec)(**{**spec.__dict__, "dueling": dueling,
-                                 "n_atoms": n_atoms, "dist_kind": kind,
-                                 "noisy": noisy})
+        spec = infer_spec_for_pack(model_path, obs_variant,
+                                   base_cfg.env.n_actions)
         self.cfg = base_cfg.replace(net=spec)
         if self.cfg.env.obs_variant != obs_variant:
             self.cfg = self.cfg.replace(

@@ -49,6 +49,7 @@ def build_config(args) -> Config:
         max_total_steps=args.max_total_steps, algo=args.algo,
         n_step=args.n_step, lr_schedule=args.lr_schedule,
         lr_end=args.lr_end, lr_decay_steps=args.lr_decay_steps,
+        obs_dtype=getattr(args, "obs_dtype", "float32"),
     )
     net = network_spec_for_variant(args.obs_variant)
     dist_kw = {}
@@ -322,6 +323,14 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
                              "backend only). Per-seed outputs go to "
                              "<save_dir>/s<seed>/ (or a literal {seed} "
                              "placeholder in -save_dir/-log_dir).")
+    parser.add_argument("-obs_dtype", type=str, default=hp.obs_dtype,
+                        choices=("float32", "bfloat16", "float16"),
+                        help="replay storage dtype for obs/next_obs (insert "
+                             "casts down, sample casts back to f32). At the "
+                             "hybrid 284-float obs the f32 pair is ~3.1 GB "
+                             "padded per 1M-transition seed in HBM — bf16 "
+                             "halves that, which is what lets -seeds K=4 "
+                             "fit a 16 GB v5e at full capacity.")
     parser.add_argument("-profile", type=str, default="",
                         help="write a jax.profiler trace (xprof) to this dir")
     # Distributional-head hyperparameters (C51/QR agents only; ignored by

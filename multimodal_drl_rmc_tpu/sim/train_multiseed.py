@@ -18,8 +18,15 @@ tests/test_multiseed.py (warm-phase trajectories bit-match a solo run;
 one learner update matches to float tolerance).
 
 Memory: each seed carries its own replay buffer (hp.max_mem transitions).
-At the default 1M x 155-float hybrid obs that is ~1.3 GB/seed in HBM —
-K<=8 fits a 16 GB v5e alongside params/optimizer.
+The hybrid obs is 284 floats, and the TPU tiles an [N, 284] f32 array to
+[N, 384] (T(8,128) lane padding, 1.35x) — at the default 1M capacity the
+f32 obs/next_obs pair is ~3.1 GB padded per seed, so K=4 is ~12.3 GB of
+carry and the compiler OOMs a 16 GB v5e while staging padded copies
+(measured: 20.1G requested, two 5.72G remat-uncompress temps of
+f32[4,1M,284]). Production multi-seed runs therefore set
+``-obs_dtype bfloat16``: replay obs storage halves to ~1.5 GB/seed
+(inserts cast down, samples cast back to f32; rewards/actions/done stay
+exact), and K=4 at full 1M capacity compiles with headroom.
 """
 
 from __future__ import annotations
@@ -206,9 +213,14 @@ class MultiSeedTrainer:
         train_state = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),
             *[self.learner.init_state(k) for k in state_keys])
-        buffer = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs),
-            *[self.learner.init_buffer() for _ in range(K)])
+        # Build the stacked replay ON DEVICE in one program: stacking K
+        # host-built buffers (K x ~2.3 GB at the default 1M-transition
+        # capacity) transiently needs 2x the stacked size and
+        # RESOURCE_EXHAUSTs the 16 GB v5e at K=4 — a single jitted
+        # vmap-of-init materializes the [K, ...] zeros exactly once.
+        buffer = jax.jit(
+            lambda: jax.vmap(lambda _: self.learner.init_buffer())(
+                jnp.arange(K)))()
         nstep = None
         if self.cfg.hp.n_step > 1:
             m = self.cfg.hp.n_step - 1

@@ -9,8 +9,12 @@
 #      snapshot was at 250-375k and no ~31 QR seed ever had a sub-30
 #      snapshot — if that holds on 4 fresh seeds, a 500k screen predicts
 #      the final tier (BENCHMARKS "what the ~29 mode does" section).
-# K=4 is the HBM bound: each seed carries a 1M-transition f32 replay
-# (~2.3 GB) in HBM; 4 x 2.3 + params/opt/transients fits the 16 GB v5e.
+# Memory: the hybrid obs is 284 floats and the TPU lane-pads [N,284] f32
+# to [N,384] — the f32 obs/next_obs pair is ~3.1 GB/seed at 1M capacity,
+# so K=4 f32 does NOT compile (measured 20.1G > 15.75G HBM, two 5.72G
+# remat-uncompress temps). -obs_dtype bfloat16 halves replay obs storage
+# (~1.5 GB/seed; inserts cast down, samples cast back to f32) and K=4 at
+# full 1M capacity fits with headroom.
 # Reprovision-safe: skips on DONE, resumes via the watchdog's -load true
 # (multi-seed resume is all-or-nothing across per-seed state saves).
 cd /root/repo
@@ -30,6 +34,7 @@ else
     -- train.py -backend device -n_env 256 -replay_ratio 1 -n_step 3 \
        -max_total_steps 2100000 -load false \
        -algo NoisyQrDuelingDQNAgent -lr 5e-5 -seeds 7,8,9,10 \
+       -obs_dtype bfloat16 \
        -save_dir "save/$D/" -log_dir "logs/$D/" \
     && touch "save/$D/DONE" save/$D/s7/DONE save/$D/s8/DONE \
              save/$D/s9/DONE save/$D/s10/DONE

@@ -83,6 +83,7 @@ def test_multiseed_warm_phase_bit_matches_solo(tmp_path, algo):
     assert not np.array_equal(np.asarray(cm.obs[:B]), np.asarray(cm.obs[B:]))
 
 
+@pytest.mark.slow
 def test_multiseed_learning_step_matches_solo(tmp_path, monkeypatch):
     """One learning superstep (k_updates vmapped train_many) from identical
     warm state produces the solo run's params to float tolerance, per seed."""
@@ -109,6 +110,7 @@ def test_multiseed_learning_step_matches_solo(tmp_path, monkeypatch):
         assert int(cm.train_state.step[k]) == int(cs.train_state.step)
 
 
+@pytest.mark.slow
 def test_multiseed_saves_per_seed_packs_and_resumes(tmp_path, monkeypatch):
     """save() writes one pack+state per seed under <save_dir>/s<seed>/;
     a second trainer with load=True resumes all seeds from those states
@@ -141,6 +143,35 @@ def test_multiseed_saves_per_seed_packs_and_resumes(tmp_path, monkeypatch):
     tr3 = MultiSeedTrainer(cfg2, seeds, batch=B, replay_ratio=1.0)
     with pytest.raises(FileNotFoundError):
         tr3.init_carry()
+
+
+@pytest.mark.slow
+def test_multiseed_bf16_replay_trains(tmp_path, monkeypatch):
+    """-obs_dtype bfloat16 (the HBM fit for K=4 at 1M capacity on a 16 GB
+    v5e — see train_multiseed module docstring): replay obs leaves are
+    stored bf16, a learning superstep still produces finite loss, and the
+    learned params stay within bf16-quantization distance of the f32 run
+    from identical warm state."""
+    monkeypatch.setattr(MultiSeedTrainer, "CHUNK", 1)
+    B, seeds = 4, [5, 9]
+    runs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = _cfg(tmp_path / dt, obs_dtype=dt)
+        tr = MultiSeedTrainer(cfg, seeds, batch=B, replay_ratio=1.0)
+        carry = tr._warm_chunk(tr._fresh_carry(), 4, False)
+        if dt == "bfloat16":
+            assert carry.buffer.data.obs.dtype == jnp.bfloat16
+            assert carry.buffer.data.next_obs.dtype == jnp.bfloat16
+            assert carry.buffer.data.reward.dtype == jnp.float32
+        carry, out = tr._train_chunk(carry)
+        assert np.all(np.isfinite(np.asarray(out["loss"])))
+        runs[dt] = jax.tree_util.tree_map(np.asarray,
+                                          carry.train_state.params)
+    for lf, lb in zip(jax.tree_util.tree_leaves(runs["float32"]),
+                      jax.tree_util.tree_leaves(runs["bfloat16"])):
+        # One update step from a bf16-quantized batch: params move by
+        # O(lr * d(obs)) — close but not bit-equal to the f32 run.
+        np.testing.assert_allclose(lf, lb, rtol=0.05, atol=5e-3)
 
 
 def test_seed_cfg_placeholder():

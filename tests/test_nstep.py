@@ -136,6 +136,7 @@ def test_window_reduce_equivalent_to_host_accumulator():
             assert float(d[0]) == pytest.approx(host[t][1]), t
 
 
+@pytest.mark.slow
 def test_device_trainer_runs_with_nstep(monkeypatch):
     """Fused trainer smoke at n_step=3 on the CPU mesh: warm + train chunks
     execute, loss finite, and the learner's discount is gamma**3."""
@@ -159,6 +160,7 @@ def test_device_trainer_runs_with_nstep(monkeypatch):
     assert carry.nstep["obs"].shape == (2, 4, cfg.env.obs_size)
 
 
+@pytest.mark.slow
 def test_device_trainer_runs_noisy_qr():
     """Full-Rainbow agent (noisy + QR + PER + n-step) through the fused
     device trainer: the noise rng threads through select_actions and the

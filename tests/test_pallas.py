@@ -209,6 +209,7 @@ def test_step_1s_batched_matches_vmapped(traffic_states):
             rtol=1e-5, atol=1e-3, err_msg=f"field {name}")
 
 
+@pytest.mark.slow
 def test_batched_env_step_matches_vmapped():
     """Env-level: make_batched_step == vmap(step_one) over a full control
     cycle (obs, reward, done, auto-reset)."""

@@ -67,6 +67,7 @@ def test_dp_matches_single_device_gradients():
     assert abs(float(m.loss) - float(m1.loss)) < 0.2
 
 
+@pytest.mark.slow
 def test_distributed_device_trainer_8dev():
     """Fused sharded-env + DP-learner training over the virtual mesh."""
     import jax
@@ -92,6 +93,7 @@ def test_distributed_device_trainer_8dev():
                    for s in leaf.addressable_shards)) == 8
 
 
+@pytest.mark.slow
 def test_distributed_trainer_batched_kernel_matches_vmapped():
     """The per-shard BT>1 kernel path (interpret mode on the CPU mesh)
     produces the same training trajectory as the vmapped step inside
@@ -119,6 +121,7 @@ def test_distributed_trainer_batched_kernel_matches_vmapped():
     assert outs[False][1] == pytest.approx(outs[True][1], rel=1e-4)
 
 
+@pytest.mark.slow
 def test_distributed_trainer_sharded_checkpoint_bit_identical(tmp_path):
     """Sharding-aware lossless resume on the virtual mesh: save the full
     sharded carry, restore it into a FRESH trainer (device_put back onto

@@ -73,3 +73,23 @@ def test_per_nonuniform_weights_below_one():
     s = replay.per_sample(buf, jax.random.PRNGKey(2), 32, jnp.float32(1.0))
     w = np.asarray(s.is_weights)
     assert np.all(w <= 1.0 + 1e-5) and np.any(w < 0.999)
+
+
+def test_bf16_storage_roundtrip():
+    """obs_dtype=bfloat16: insert casts obs/next_obs down, gather casts back
+    to f32, and values match bf16 quantization of the originals exactly;
+    action/reward/done stay full precision."""
+    buf = replay.init(capacity=8, obs_size=4, obs_dtype=jnp.bfloat16)
+    vals = [1.0, 0.1234567, 1234.567]
+    buf = replay.insert(buf, mk_batch(vals))
+    assert buf.obs.dtype == jnp.bfloat16 and buf.next_obs.dtype == jnp.bfloat16
+    got = replay.gather(buf, jnp.arange(3))
+    assert got.obs.dtype == jnp.float32
+    want = np.asarray(jnp.asarray(vals, jnp.float32).astype(jnp.bfloat16)
+                      .astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(got.obs[:, 0]), want)
+    np.testing.assert_array_equal(np.asarray(got.reward),
+                                  np.asarray(vals, np.float32))
+    # bf16 has an 8-bit mantissa: worst-case relative error < 2^-8.
+    rel = np.abs(want - np.asarray(vals)) / np.asarray(vals)
+    assert rel.max() < 2 ** -8

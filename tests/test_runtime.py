@@ -217,6 +217,7 @@ def test_evaluate_pen_rate_freeze_and_tag(tmp_path):
     assert (tmp_path / "results_FixedCycleBaselineFull.csv").exists()
 
 
+@pytest.mark.slow
 def test_device_trainer_periodic_saves_and_snapshots(tmp_path, monkeypatch):
     """run() checkpoints mid-run (a host failure costs minutes, not the run)
     and copies step-tagged snapshot packs at the SNAPSHOT_EVERY cadence."""
@@ -242,6 +243,7 @@ def test_device_trainer_periodic_saves_and_snapshots(tmp_path, monkeypatch):
     assert snaps, "expected at least one step-tagged snapshot pack"
 
 
+@pytest.mark.slow
 def test_device_trainer_full_save_knob(tmp_path, monkeypatch):
     """Periodic lossless full-Carry saves are opt-in: pulling the multi-GB
     replay through the tunnel measured ~8 min of stalled training per save,
@@ -267,6 +269,7 @@ def test_device_trainer_full_save_knob(tmp_path, monkeypatch):
         assert os.path.isfile(checkpoint.full_path(cfg)) == expect
 
 
+@pytest.mark.slow
 def test_device_trainer_resume_continues_step_accounting(tmp_path, monkeypatch):
     """A resumed DeviceTrainer continues GLOBAL env-step accounting: new
     snapshot tags extend the sequence instead of re-writing earlier

@@ -10,6 +10,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# Wall-clock sleep/hang-detection tests: ~1 min total, opt-in via -m slow.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = """
