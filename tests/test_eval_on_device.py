@@ -1,0 +1,94 @@
+"""On-device vmapped evaluator (sim/eval_on_device.py).
+
+Structural semantics only (tiny cycle counts — CPU): row schema, episode
+pairing across stacked snapshots, determinism, spec-mix guard, CSV output.
+Protocol-level numbers are validated on the chip (BENCHMARKS.md device-eval
+section).
+"""
+
+import csv
+import math
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_drl_rmc_tpu.sim.eval_on_device import (
+    DeviceEvaluator,
+    write_results_csv,
+)
+
+PACKS = {
+    "plain": "save/1ramp_1x3/DuelingDoubleDQNAgent_lr0.0001_model.pack",
+    "noisyiqn": "save/1ramp_1x3/NoisyIqnDuelingDQNAgent_lr5e-05_model.pack",
+    "qr": "save/1ramp_1x3/QrDuelingDQNAgent_lr0.0001_model.pack",
+}
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pack(name):
+    p = os.path.join(REPO, PACKS[name])
+    if not os.path.isfile(p):
+        pytest.skip(f"trained pack missing: {p}")
+    return p
+
+
+def test_rows_schema_and_pairing(tmp_path):
+    ev = DeviceEvaluator(n_episodes=3, master_seed=7, cycles=4)
+    rows = ev.evaluate([_pack("noisyiqn")])
+    assert len(rows) == 3
+    for r in rows:
+        assert r["seed"] == 7 + r["episode_id"]
+        for k, v in r.items():
+            if isinstance(v, float) and k not in (
+                    "median_travel_time", "std_dev_travel_time",
+                    "median_time_loss", "std_dev_time_loss",
+                    "sum_of_squared_time_loss"):
+                assert math.isfinite(v), (k, v)
+        # Routes partition the total.
+        assert (r["Mainline_throughput"] + r["On-Ramp_throughput"]
+                + r["Off-Ramp_throughput"]) == r["total_throughput"]
+    # Distinct episodes draw distinct demand.
+    assert len({r["main_flow_vph"] for r in rows} |
+               {r["on_ramp_flow_vph"] for r in rows}) > 1
+
+    out = tmp_path / "results_device_test.csv"
+    write_results_csv(rows, str(out))
+    with open(out) as f:
+        got = list(csv.DictReader(f))
+    assert len(got) == 3 and "avg_time_loss" in got[0]
+
+
+def test_identical_params_and_paired_episodes_bit_match():
+    """Stacked snapshot axis: the same pack twice must produce identical
+    per-episode rows (same reset key per episode across the S axis)."""
+    p = _pack("plain")
+    ev = DeviceEvaluator(n_episodes=2, master_seed=3, cycles=3)
+    rows = ev.evaluate([p, p])
+    a = [r for r in rows if r["episode_id"] == 0]
+    assert len(a) == 2
+    for k in ("total_travel_time", "avg_ramp_queue_veh", "main_flow_vph",
+              "total_co2_mg", "demand_inserted"):
+        assert a[0][k] == a[1][k], k
+
+
+def test_spec_mix_rejected():
+    with pytest.raises(ValueError, match="mix NetworkSpecs"):
+        DeviceEvaluator(n_episodes=1, cycles=2).evaluate(
+            [_pack("plain"), _pack("qr")])
+
+
+def test_no_autoreset_at_full_horizon():
+    """cycles = full episode: the final carry keeps cumulative stats (the
+    auto-reset must NOT fire on the last cycle — reset starts t at 5 s,
+    the regression this pins)."""
+    ev = DeviceEvaluator(n_episodes=1, master_seed=0, cycles=12)
+    # 12 cycles only reach t=485 of the 3600 s demand profile, but the
+    # counters must be nonzero and monotone vs a shorter run.
+    short = DeviceEvaluator(n_episodes=1, master_seed=0, cycles=6)
+    r12 = ev.evaluate([_pack("plain")])[0]
+    r6 = short.evaluate([_pack("plain")])[0]
+    assert r12["demand_inserted"] > r6["demand_inserted"] > 0
+    assert r12["total_throughput"] >= r6["total_throughput"]
+    assert r12["total_throughput"] > 0
