@@ -82,12 +82,28 @@ class MultiSeedTrainer:
     SNAPSHOT_EVERY = 1_000_000
 
     def __init__(self, cfg: Config, seeds: Sequence[int],
-                 batch: int | None = None, replay_ratio: float = 1.0):
+                 batch: int | None = None, replay_ratio: float = 1.0,
+                 mesh=None, mesh_axis: str = "seed"):
+        """``mesh``: optional jax.sharding.Mesh — shards the seed axis
+        across devices. The seed dimension is embarrassingly parallel
+        (every op in one_iter is per-seed or per-env), so auto-SPMD
+        partitions the whole superstep with ZERO collectives: on a pod,
+        K seeds cost one seed's wall-clock + one seed's HBM per chip.
+        (On one chip the vmapped program scales linearly — measured
+        1670 total env-steps/s at K=4 vs 1673 solo — because the fused
+        trainer is already throughput-bound; the mesh axis is where the
+        multi-seed win actually lives.) Requires mesh.shape[mesh_axis]
+        to divide K."""
         if len(set(seeds)) != len(seeds):
             raise ValueError(f"duplicate seeds: {seeds}")
         self.cfg = cfg
         self.seeds = list(seeds)
         self.K = K = len(self.seeds)
+        self.mesh, self.mesh_axis = mesh, mesh_axis
+        if mesh is not None and K % mesh.shape[mesh_axis]:
+            raise ValueError(
+                f"mesh axis {mesh_axis!r} ({mesh.shape[mesh_axis]} devices) "
+                f"must divide K={K}")
         self.batch = B = batch or max(cfg.hp.n_env, 1)
         # Identical per-seed schedule semantics to DeviceTrainer: k updates
         # per superstep per seed, effective n_env = B / k.
@@ -194,6 +210,48 @@ class MultiSeedTrainer:
         self._warm_chunk = warm_chunk
         self._train_chunk = train_chunk
 
+    # -- seed-axis sharding --------------------------------------------------
+
+    def _lead_sharding(self, x):
+        """NamedSharding putting dim 0 (the seed / seed-major-env axis) on
+        the mesh's seed axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndim = getattr(x, "ndim", 0)
+        if ndim >= 1:
+            return NamedSharding(self.mesh,
+                                 P(self.mesh_axis, *([None] * (ndim - 1))))
+        return NamedSharding(self.mesh, P())
+
+    def _carry_shardings(self, carry: MultiCarry) -> MultiCarry:
+        """Sharding tree for a MultiCarry: every leaf is seed-major on
+        dim 0 ([K, ...] learner state / [K*B, ...] env state) except the
+        n-step window, whose seed-major axis is dim 1 ([n-1, K*B, ...]).
+        The superstep has no cross-seed op, so jit auto-SPMD partitions it
+        with zero collectives. Validated on the virtual CPU mesh (XLA env
+        path); a real pod should set MDRLRMC_BATCHED=0 — the BT>1 Pallas
+        kernel is not written for auto-partitioning (the shard_map
+        per-shard kernel route lives in sim/distributed.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        t = jax.tree_util.tree_map
+
+        def second(x):
+            return NamedSharding(
+                self.mesh, P(None, self.mesh_axis, *([None] * (x.ndim - 2))))
+
+        return MultiCarry(
+            env_states=t(self._lead_sharding, carry.env_states),
+            obs=self._lead_sharding(carry.obs),
+            train_state=t(self._lead_sharding, carry.train_state),
+            buffer=t(self._lead_sharding, carry.buffer),
+            rng=self._lead_sharding(carry.rng),
+            ep_ret=self._lead_sharding(carry.ep_ret),
+            rew_mean=self._lead_sharding(carry.rew_mean),
+            episodes=self._lead_sharding(carry.episodes),
+            nstep=None if carry.nstep is None else t(second, carry.nstep),
+        )
+
     # -- state construction ------------------------------------------------
 
     def _fresh_carry(self) -> MultiCarry:
@@ -218,9 +276,16 @@ class MultiSeedTrainer:
         # capacity) transiently needs 2x the stacked size and
         # RESOURCE_EXHAUSTs the 16 GB v5e at K=4 — a single jitted
         # vmap-of-init materializes the [K, ...] zeros exactly once.
-        buffer = jax.jit(
-            lambda: jax.vmap(lambda _: self.learner.init_buffer())(
-                jnp.arange(K)))()
+        init_stacked = lambda: jax.vmap(          # noqa: E731
+            lambda _: self.learner.init_buffer())(jnp.arange(K))
+        if self.mesh is not None:
+            # Materialize the stacked replay DIRECTLY sharded — a pod-size
+            # buffer must never exist whole on one device.
+            shapes = jax.eval_shape(init_stacked)
+            buffer = jax.jit(init_stacked, out_shardings=jax.tree_util.tree_map(
+                self._lead_sharding, shapes))()
+        else:
+            buffer = jax.jit(init_stacked)()
         nstep = None
         if self.cfg.hp.n_step > 1:
             m = self.cfg.hp.n_step - 1
@@ -230,7 +295,7 @@ class MultiSeedTrainer:
                 "rew": jnp.zeros((m, K * B), jnp.float32),
                 "done": jnp.ones((m, K * B), jnp.float32),
             }
-        return MultiCarry(
+        carry = MultiCarry(
             env_states=env_states, obs=obs, train_state=train_state,
             buffer=buffer, rng=jnp.stack(carry_keys),
             ep_ret=jnp.zeros((K * B,), jnp.float32),
@@ -238,6 +303,9 @@ class MultiSeedTrainer:
             episodes=jnp.zeros((K,)),
             nstep=nstep,
         )
+        if self.mesh is not None:
+            carry = jax.device_put(carry, self._carry_shardings(carry))
+        return carry
 
     def seed_state(self, carry: MultiCarry, k: int):
         """Unstacked TrainState of seed index k (host copy)."""
@@ -274,7 +342,7 @@ class MultiSeedTrainer:
                       // self.k_updates)) for m in metas)
         print(f"resumed multi-seed trainer at {self.start_env_steps} env "
               f"steps (seeds {self.seeds})")
-        return carry._replace(
+        carry = carry._replace(
             train_state=jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *states),
             rew_mean=jnp.asarray([m.get("rew_mean", 0.0) for m in metas],
@@ -282,6 +350,9 @@ class MultiSeedTrainer:
             episodes=jnp.asarray([float(m.get("episode_count", 0))
                                   for m in metas]),
         )
+        if self.mesh is not None:
+            carry = jax.device_put(carry, self._carry_shardings(carry))
+        return carry
 
     # -- persistence ---------------------------------------------------------
 

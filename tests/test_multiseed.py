@@ -146,6 +146,40 @@ def test_multiseed_saves_per_seed_packs_and_resumes(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_multiseed_seed_axis_sharding_matches_unsharded(tmp_path, monkeypatch):
+    """mesh= shards the seed axis over devices with zero collectives (the
+    superstep has no cross-seed op): the sharded run's warm-phase carry is
+    BIT-identical to the unsharded vmapped run, a train chunk produces the
+    same losses to float tolerance, and the carry is genuinely distributed
+    (every mesh device owns a shard)."""
+    from jax.sharding import Mesh
+
+    monkeypatch.setattr(MultiSeedTrainer, "CHUNK", 1)
+    ndev = min(4, len(jax.devices()))
+    if ndev < 2:
+        pytest.skip("needs >=2 devices (tests/conftest.py forces 8 CPU)")
+    B, seeds = 2, list(range(ndev))
+    cfg = _cfg(tmp_path)
+    mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("seed",))
+    plain = MultiSeedTrainer(cfg, seeds, batch=B, replay_ratio=1.0)
+    shard = MultiSeedTrainer(cfg, seeds, batch=B, replay_ratio=1.0,
+                             mesh=mesh)
+    cp = plain._warm_chunk(plain._fresh_carry(), 4, False)
+    cs = shard._warm_chunk(shard._fresh_carry(), 4, False)
+    assert len(cs.train_state.step.sharding.device_set) == ndev
+    for lp, ls in zip(jax.tree_util.tree_leaves(cp._replace(nstep=None)),
+                      jax.tree_util.tree_leaves(cs._replace(nstep=None))):
+        np.testing.assert_array_equal(np.asarray(lp), np.asarray(ls))
+    cp, op = plain._train_chunk(cp)
+    cs, os_ = shard._train_chunk(cs)
+    np.testing.assert_allclose(np.asarray(op["loss"]),
+                               np.asarray(os_["loss"]), rtol=2e-4)
+    # Mesh size must divide K.
+    with pytest.raises(ValueError, match="must divide"):
+        MultiSeedTrainer(cfg, [1, 2, 3], batch=B, mesh=mesh)
+
+
+@pytest.mark.slow
 def test_multiseed_bf16_replay_trains(tmp_path, monkeypatch):
     """-obs_dtype bfloat16 (the HBM fit for K=4 at 1M capacity on a 16 GB
     v5e — see train_multiseed module docstring): replay obs leaves are
