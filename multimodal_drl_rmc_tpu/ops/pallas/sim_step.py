@@ -84,15 +84,29 @@ _SEG_SPEED = np.asarray(GEO.seg_speed, np.float32)
 _STOP = np.where(np.isfinite(GEO.stop_line), GEO.stop_line, BIG)
 
 
-def _block_for(b: int, block: int) -> int:
+def _block_for(b: int, block: int, interpret: bool = False) -> int:
     """Env-tile size: ``block`` when it divides the batch, else the largest
     divisor of ``b`` that still fits one VMEM block. Never silently ``b``
     itself — a large non-multiple batch (e.g. a prime) would blow VMEM or
-    fail Mosaic lowering far from the call site. bt=1 is a valid, if slow,
-    floor (_sum_bc branches on the static block shape)."""
+    fail Mosaic lowering far from the call site.
+
+    Mosaic constraint (real TPU only): per-env arrays are (b, k) with the
+    env axis on the sublane dimension, so the tile must be a multiple of 8
+    OR the whole batch. A batch like 850 (= 17 snapshots x 50 episodes)
+    has no such divisor <= 8 — raise HERE with the remedy instead of a
+    block-shape error deep in pallas lowering (DeviceEvaluator pads its
+    episode axis so S*E is always tile-aligned)."""
     if b % block == 0:
-        return block
-    return next(d for d in range(min(block, b), 0, -1) if b % d == 0)
+        bt = block
+    else:
+        bt = next(d for d in range(min(block, b), 0, -1) if b % d == 0)
+    if not interpret and bt != b and bt % 8:
+        raise ValueError(
+            f"batch {b} has no lowerable env tile: largest divisor <= "
+            f"{block} is {bt}, but Mosaic needs a multiple of 8 (or the "
+            f"whole batch) on the sublane axis — pad the batch to a "
+            f"multiple of {block}")
+    return bt
 
 
 def _compiler_params(bt: int):
@@ -294,7 +308,7 @@ def fused_substeps(pos, speed, active, wait, head, red, breakdown=None, *,
     merge-breakdown level (defaults to 0). Returns (pos, speed, wait).
     """
     b = pos.shape[0]
-    bt = _block_for(b, block)
+    bt = _block_for(b, block, interpret)
     grid = (b // bt,)
     spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -413,7 +427,7 @@ def fused_step(pos, speed, active, wait, head, red, breakdown=None, *,
     from ...sim.geometry import LOOPS_PER_CHAIN
 
     b = pos.shape[0]
-    bt = _block_for(b, block)
+    bt = _block_for(b, block, interpret)
     grid = (b // bt,)
     spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -636,7 +650,7 @@ def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
     from ...sim.geometry import LOOPS_PER_CHAIN
 
     b = pos.shape[0]
-    bt = _block_for(b, block)
+    bt = _block_for(b, block, interpret)
     grid = (b // bt,)
     spec3 = pl.BlockSpec((bt, N_CHAINS, SLOTS), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)

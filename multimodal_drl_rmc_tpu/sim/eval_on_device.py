@@ -10,8 +10,10 @@ empirical program was bottlenecked by exactly that: every snapshot sweep is
 This module runs the SAME greedy-policy rollout on the on-device JAX sim
 as ONE XLA program vmapped over snapshots x episodes: S stacked parameter
 trees act on S*E environments stepped as one batch through the fused
-Pallas cycle kernel. 17 snapshots x 50 episodes is 850 concurrent envs —
-about two minutes on a v5e instead of ~6 hours on the host core. That
+Pallas cycle kernel (the episode axis is padded so S*E is always a
+multiple of the 8-env kernel tile; pad episodes are dropped from the
+rows). 17 snapshots x 50 episodes is 952 concurrent envs (850 + 102
+pad) — about two minutes on a v5e instead of ~6 hours on the host core. That
 turns snapshot screening and large-N tail estimation (1000-episode
 CVaR of a production pick) into interactive operations the reference
 cannot express at all.
@@ -45,6 +47,7 @@ import numpy as np
 from ..config import Config, EnvConfig
 from ..models import packio
 from ..models.networks import DuelingQNetwork, build_network
+from .core import default_block
 from .env import DeviceRampEnv
 from .physics import CO2_PER_FUEL_ML
 
@@ -100,15 +103,30 @@ class DeviceEvaluator:
 
     # -- core rollout --------------------------------------------------------
 
+    def _padded_E(self, S: int) -> int:
+        """Episode count padded so S*E is a multiple of the env-tile size.
+
+        The fused cycle kernel tiles the batch in blocks of
+        ``default_block()`` (8) envs and Mosaic requires the tile to be a
+        multiple of 8 on the sublane axis — a 17-snapshot x 50-episode
+        sweep (850 envs) has no such tiling. Extra episodes are rolled
+        with their own reset keys and dropped in ``_rows``; the REAL
+        episodes' keys are unchanged by padding (protocol-stable)."""
+        blk = default_block()
+        E = self.E
+        while (S * E) % blk:
+            E += 1
+        return E
+
     def _rollout_fn(self, net, S: int):
         key = (id(type(net)), net.spec, S)
         if key in self._rollouts:
             return self._rollouts[key]
-        if S * self.E not in self._envs:
-            self._envs[S * self.E] = DeviceRampEnv(self.env_cfg, S * self.E)
-        env = self._envs[S * self.E]
+        E = self._padded_E(S)
+        if S * E not in self._envs:
+            self._envs[S * E] = DeviceRampEnv(self.env_cfg, S * E)
+        env = self._envs[S * E]
         greedy = _greedy_for(net)
-        E = self.E
 
         def rollout(params_stacked, reset_keys):
             states = env._reset(reset_keys)
@@ -138,6 +156,12 @@ class DeviceEvaluator:
 
     def _reset_keys(self, S: int) -> jax.Array:
         keys = jax.random.split(jax.random.PRNGKey(self.master_seed), self.E)
+        Epad = self._padded_E(S)
+        if Epad > self.E:                      # tile-alignment padding only;
+            extra = jax.random.split(          # real keys stay unchanged
+                jax.random.fold_in(jax.random.PRNGKey(self.master_seed), 1),
+                Epad - self.E)
+            keys = jnp.concatenate([keys, extra])
         return jnp.tile(keys, (S, 1))          # episode e paired across S
 
     # -- public API ----------------------------------------------------------
@@ -172,16 +196,17 @@ class DeviceEvaluator:
 
     def _rows(self, pack_paths, states, series) -> list[dict]:
         S, E = len(pack_paths), self.E
+        Epad = self._padded_E(S)
         sim = jax.device_get(states.sim)
         (queue, f_up, o_up, s_up, f_mg, o_bn, s_bn,
-         f_dn, o_dn, s_dn) = (np.asarray(x).reshape(self.cycles, S, E)
+         f_dn, o_dn, s_dn) = (np.asarray(x).reshape(self.cycles, S, Epad)
                               for x in series)
         cyc_s = self.base_cfg.env.cycle_seconds
         spill_thr = (self.base_cfg.env.spillback_threshold_frac
                      * self.base_cfg.env.max_ramp_queue_veh)
 
         def r2(x):
-            return x.reshape(S, E, *x.shape[1:])
+            return x.reshape(S, Epad, *x.shape[1:])
 
         arrived, travel, loss, waited = (r2(np.asarray(sim.arrived)),
                                          r2(np.asarray(sim.travel_sum)),

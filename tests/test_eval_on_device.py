@@ -73,6 +73,43 @@ def test_identical_params_and_paired_episodes_bit_match():
         assert a[0][k] == a[1][k], k
 
 
+def test_padding_does_not_change_real_episode_rows(monkeypatch):
+    """S*E=850-style batches (17 packs x 50 eps) have no 8-divisible env
+    tile; the evaluator pads the episode axis and drops pad rows. The
+    REAL episodes' reset keys and row values must be unchanged by
+    padding (block=1 divides everything -> no padding; block=8 pads
+    E=3 -> 8)."""
+    p = _pack("plain")
+
+    def run(block):
+        monkeypatch.setenv("MDRLRMC_BLOCK", block)
+        ev = DeviceEvaluator(n_episodes=3, master_seed=11, cycles=3)
+        assert ev._padded_E(1) == (3 if block == "1" else 8)
+        return ev.evaluate([p])
+
+    unpadded, padded = run("1"), run("8")
+    assert len(padded) == 3
+    for ru, rp in zip(unpadded, padded):
+        assert ru["seed"] == rp["seed"]
+        for k in ("main_flow_vph", "total_travel_time", "total_throughput",
+                  "avg_ramp_queue_veh", "total_co2_mg"):
+            np.testing.assert_allclose(ru[k], rp[k], rtol=1e-5, err_msg=k)
+
+
+def test_block_for_rejects_unlowerable_tile():
+    """_block_for must raise the padding remedy on TPU-bound batches with
+    no 8-multiple divisor (the 850-env sweep crash), and keep the legal
+    cases: dividing block, whole-batch tile, interpret mode."""
+    from multimodal_drl_rmc_tpu.ops.pallas.sim_step import _block_for
+
+    with pytest.raises(ValueError, match="pad the batch"):
+        _block_for(850, 8)
+    assert _block_for(850, 8, interpret=True) == 5
+    assert _block_for(800, 8) == 8
+    assert _block_for(4, 8) == 4          # whole batch is a legal tile
+    assert _block_for(856, 8) == 8        # the padded sweep batch
+
+
 def test_spec_mix_rejected():
     with pytest.raises(ValueError, match="mix NetworkSpecs"):
         DeviceEvaluator(n_episodes=1, cycles=2).evaluate(
