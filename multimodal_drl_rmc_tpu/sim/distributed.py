@@ -76,7 +76,7 @@ class DistributedDeviceTrainer:
         k_updates = self.k_updates
         fns = make_local_fns(cfg, ndev, axis)
         self.fns = fns
-        reset_one, obs_one, step_one = make_env_fns(cfg.env)
+        reset_one, obs_one, step_one, _ = make_env_fns(cfg.env)
         if batched_kernel is None:
             from .core import use_pallas_substeps
 
@@ -84,7 +84,7 @@ class DistributedDeviceTrainer:
         if batched_kernel:
             from .env import make_batched_step
 
-            step_local = make_batched_step(cfg.env)
+            step_local, _ = make_batched_step(cfg.env)
         else:
             step_local = jax.vmap(step_one)
         self.rng = jax.random.PRNGKey(seed)

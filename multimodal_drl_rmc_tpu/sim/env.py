@@ -197,7 +197,8 @@ class EnvState(NamedTuple):
 
 
 def make_env_fns(cfg: EnvConfig):
-    """Single-env pure functions (reset_one, obs_one, step_one).
+    """Single-env pure functions (reset_one, obs_one, step_one,
+    step_green_one).
 
     ``step_one`` simulates one full control cycle and auto-resets at
     episode end; it is vmapped by DeviceRampEnv and shard_mapped by the
@@ -215,7 +216,14 @@ def make_env_fns(cfg: EnvConfig):
         return observation(es.sim, es.last_action_sec, cfg)
 
     def step_one(es: EnvState, action: jax.Array):
-        green = actions_sec[jnp.clip(action, 0, len(actions_sec) - 1)]
+        return step_green_one(
+            es, actions_sec[jnp.clip(action, 0, len(actions_sec) - 1)])
+
+    def step_green_one(es: EnvState, green: jax.Array):
+        """Cycle step with a CONTINUOUS green time (seconds) instead of a
+        discrete action index — the classical controllers (ALINEA's
+        rate->green law) need greens outside the 8-action grid
+        (sim/eval_on_device.py device-protocol baselines)."""
         sim = clear_cycle_accumulators(es.sim)
 
         def body(s, i):
@@ -239,7 +247,7 @@ def make_env_fns(cfg: EnvConfig):
         obs_out = jnp.where(done, obs_one(fresh), obs)
         return es_out, (obs, obs_out, rew, done, m)
 
-    return reset_one, obs_one, step_one
+    return reset_one, obs_one, step_one, step_green_one
 
 
 def make_batched_step(cfg: EnvConfig, interpret: bool | None = None,
@@ -258,13 +266,16 @@ def make_batched_step(cfg: EnvConfig, interpret: bool | None = None,
         # Auto: compiled kernel on TPU, interpret mode on CPU (tests /
         # forced MDRLRMC_BATCHED=1 without a real chip).
         interpret = jax.default_backend() == "cpu"
-    reset_one, obs_one, step_one = make_env_fns(cfg)
+    reset_one, obs_one, step_one, _ = make_env_fns(cfg)
     actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
     cyc = int(cfg.cycle_seconds)
     episode_s = cfg.scenario.episode_seconds
 
     def step_batched(es: EnvState, actions: jax.Array):
         green = actions_sec[jnp.clip(actions, 0, len(actions_sec) - 1)]  # [B]
+        return step_green_batched(es, green)
+
+    def step_green_batched(es: EnvState, green: jax.Array):
         sim = jax.vmap(clear_cycle_accumulators)(es.sim)
 
         def body(s, i):
@@ -290,7 +301,7 @@ def make_batched_step(cfg: EnvConfig, interpret: bool | None = None,
         obs_out = jnp.where(done[:, None], jax.vmap(obs_one)(fresh), obs)
         return es_out, (obs, obs_out, rew, done, m)
 
-    return step_batched
+    return step_batched, step_green_batched
 
 
 class DeviceRampEnv:
@@ -311,7 +322,7 @@ class DeviceRampEnv:
         self.cfg = cfg
         self.batch = batch
         self.actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
-        reset_one, obs_one, step_one = make_env_fns(cfg)
+        reset_one, obs_one, step_one, step_green_one = make_env_fns(cfg)
         if batched_kernel is None:
             import os
 
@@ -324,8 +335,12 @@ class DeviceRampEnv:
                 batched_kernel = use_pallas_substeps()
         self._reset = jax.jit(jax.vmap(reset_one))
         self._obs = jax.jit(jax.vmap(obs_one))
-        self._step = jax.jit(make_batched_step(cfg)) if batched_kernel \
-            else jax.jit(jax.vmap(step_one))
+        if batched_kernel:
+            step_b, step_g = make_batched_step(cfg)
+            self._step, self._step_green = jax.jit(step_b), jax.jit(step_g)
+        else:
+            self._step = jax.jit(jax.vmap(step_one))
+            self._step_green = jax.jit(jax.vmap(step_green_one))
 
     def reset(self, rng: jax.Array):
         states = self._reset(jax.random.split(rng, self.batch))
@@ -338,6 +353,11 @@ class DeviceRampEnv:
         s'); ``obs_next`` is the post-auto-reset observation to act on.
         """
         return self._step(states, actions)
+
+    def step_green(self, states: EnvState, green_sec: jax.Array):
+        """Cycle step with continuous green times [B] in seconds (the
+        classical-controller eval path; see ``step`` for the returns)."""
+        return self._step_green(states, green_sec)
 
     @property
     def obs_size(self) -> int:

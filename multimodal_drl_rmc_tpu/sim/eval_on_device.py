@@ -62,6 +62,61 @@ _NAN_COLS = ("median_travel_time", "std_dev_travel_time",
              "sum_of_squared_time_loss")
 
 
+# ---------------------------------------------------------------------------
+# Classical controllers on the device protocol
+# ---------------------------------------------------------------------------
+#
+# Pure scan-compatible twins of envs/baselines.py (reference
+# env/custom_env/baselines.py:80-253): carry -> (carry, green_seconds[B]).
+# Differences forced by the device protocol, both documented there: control
+# is per 40 s cycle (green-then-red within the cycle — FixedCycle's 20/20
+# and AlwaysGreen's always-on map exactly), and ALINEA's occupancy
+# measurement is the previous cycle's merge-area loop occupancy
+# (detector interval == control cycle, sim/env.py).
+
+
+def _alinea_green(rate_vph, cfg_env):
+    cyc = cfg_env.cycle_seconds
+    veh_per_cycle = rate_vph * (cyc / 3600.0)
+    return jnp.clip(veh_per_cycle / 0.5, 3.0, cyc)   # sat flow 0.5 veh/s
+
+
+def _make_controller(strategy: str, cfg_env, B: int):
+    """(init_carry, step(carry, occ_merge_prev[B]) -> (carry, green[B]))."""
+    cyc = float(cfg_env.cycle_seconds)
+    if strategy == "AlwaysGreenBaseline":
+        return (), lambda c, occ: (c, jnp.full((B,), cyc, jnp.float32))
+    if strategy == "FixedCycleBaseline":
+        return (), lambda c, occ: (c, jnp.full((B,), 20.0, jnp.float32))
+    if strategy == "AlineaDsBaseline":
+        init = jnp.full((B,), (180.0 + 1900.0) / 2, jnp.float32)
+
+        def step(rate, occ):
+            rate = jnp.clip(rate + 60.0 * (17.0 - occ), 180.0, 1900.0)
+            return rate, _alinea_green(rate, cfg_env)
+
+        return init, step
+    if strategy == "PiAlineaDsBaseline":
+        init = (jnp.full((B,), (180.0 + 1900.0) / 2, jnp.float32),
+                jnp.zeros((B,), jnp.float32))
+
+        def step(carry, occ):
+            rate, integral = carry
+            err = 17.0 - occ
+            integral_new = integral + err
+            new_rate = rate + 60.0 * err + 10.0 * integral_new
+            # Conditional anti-windup (baselines.py:258-267): the rate is
+            # clipped from the incremented-integral value either way; only
+            # the integral is backed out when the actuator saturates.
+            saturated = (new_rate > 1800.0) | (new_rate < 180.0)
+            integral = jnp.where(saturated, integral, integral_new)
+            rate = jnp.clip(new_rate, 180.0, 1800.0)
+            return (rate, integral), _alinea_green(rate, cfg_env)
+
+        return init, step
+    raise ValueError(f"unknown device-protocol strategy {strategy!r}")
+
+
 def _greedy_for(net):
     """greedy_fn's XLA path (models/networks.py:414-442) — replicated here
     because the Pallas dueling kernel is not written for an extra vmap
@@ -191,6 +246,47 @@ class DeviceEvaluator:
         states, series = self._rollout_fn(net, S)(stacked,
                                                   self._reset_keys(S))
         return self._rows(pack_paths, states, series)
+
+    def evaluate_strategy(self, strategy: str) -> list[dict]:
+        """Classical-controller eval on the device protocol: E paired
+        episodes of AlwaysGreen / FixedCycle / ALINEA / PI-ALINEA (same
+        reset keys as ``evaluate``, so rows pair episode-for-episode with
+        any pack's device rows). Uses the continuous-green step
+        (sim/env.py step_green) — ALINEA's rate law is not confined to
+        the agents' 8-action grid."""
+        E = self._padded_E(1)
+        if E not in self._envs:
+            self._envs[E] = DeviceRampEnv(self.env_cfg, E)
+        env = self._envs[E]
+        key = ("strategy", strategy, 1)
+        if key not in self._rollouts:
+            init, ctrl = _make_controller(strategy, self.base_cfg.env, E)
+
+            def rollout(reset_keys):
+                states = env._reset(reset_keys)
+
+                def body(carry, _):
+                    states, ctrl_state, occ = carry
+                    ctrl_state, green = ctrl(ctrl_state, occ)
+                    states, (_of, _obs, _rew, _done, m) = env.step_green(
+                        states, green)
+                    series = (m.ramp_queue_veh,
+                              m.flow_upstream_vph, m.occ_upstream,
+                              m.speed_upstream,
+                              m.flow_merging_vph, m.occ_bottleneck,
+                              m.speed_bottleneck,
+                              m.flow_downstream_vph, m.occ_downstream,
+                              m.speed_downstream)
+                    return (states, ctrl_state, m.occ_bottleneck), series
+
+                (states, _, _), series = jax.lax.scan(
+                    body, (states, init, jnp.zeros((E,), jnp.float32)),
+                    None, length=self.cycles)
+                return states, series
+
+            self._rollouts[key] = jax.jit(rollout)
+        states, series = self._rollouts[key](self._reset_keys(1))
+        return self._rows([strategy], states, series)
 
     # -- row construction ----------------------------------------------------
 

@@ -8,10 +8,17 @@ fresh-demand episodes of one policy are a single ~1000-env XLA program
 not finish it in two days). Reports mean / p95 / p99 / CVaR@10 / worst
 delay per candidate under the device protocol, paired across candidates.
 
+Positional args may mix pack paths and classical-strategy names
+(AlwaysGreenBaseline / FixedCycleBaseline / AlineaDsBaseline /
+PiAlineaDsBaseline) — the classical controllers run on the device
+protocol via DeviceEvaluator.evaluate_strategy over the SAME episode
+keys, giving the table its classical bars.
+
 Usage (chip must be idle):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/tail_cert_device.py \
       -n 1000 --master-seed 1042 --out evaluation/results_tailcert \
-      save/1ramp_1x3/NoisyIqnDuelingDQNAgent_lr5e-05_model.pack [more packs...]
+      save/1ramp_1x3/NoisyIqnDuelingDQNAgent_lr5e-05_model.pack \
+      FixedCycleBaseline AlineaDsBaseline [more...]
 """
 
 import argparse
@@ -40,18 +47,23 @@ def main() -> None:
         write_results_csv,
     )
 
+    from multimodal_drl_rmc_tpu.envs.baselines import BASELINES
+
     ev = DeviceEvaluator(n_episodes=args.n, master_seed=args.master_seed)
     # Group same-spec packs so each group is one stacked program; packs of
     # different head types run as separate programs over the SAME episode
     # keys (still paired — the reset keys depend only on master_seed).
+    # Classical-strategy names each run as their own program, same keys.
     groups: dict = {}
     for p in args.packs:
-        groups.setdefault(infer_spec_for_pack(p, args.obs_variant), []).append(p)
+        key = p if p in BASELINES else infer_spec_for_pack(p, args.obs_variant)
+        groups.setdefault(key, []).append(p)
 
     os.makedirs(args.out, exist_ok=True)
     summary = []
     for spec, packs in groups.items():
-        rows = ev.evaluate(packs, obs_variant=args.obs_variant)
+        rows = (ev.evaluate_strategy(spec) if isinstance(spec, str)
+                else ev.evaluate(packs, obs_variant=args.obs_variant))
         df = pd.DataFrame(rows)
         for p, sub in df.groupby("model_path"):
             d = np.asarray(sub["avg_time_loss"])

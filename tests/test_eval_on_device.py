@@ -129,3 +129,96 @@ def test_no_autoreset_at_full_horizon():
     assert r12["demand_inserted"] > r6["demand_inserted"] > 0
     assert r12["total_throughput"] >= r6["total_throughput"]
     assert r12["total_throughput"] > 0
+
+
+def test_alinea_controller_matches_host_recursion():
+    """The device ALINEA / PI-ALINEA laws must reproduce the host
+    controllers' per-cycle rate/green recursions (envs/baselines.py
+    AlineaDsBaseline._update_rate / PiAlineaDsBaseline._update_rate,
+    reference baselines.py:135-253) on an arbitrary occupancy sequence."""
+    import jax.numpy as jnp
+
+    from multimodal_drl_rmc_tpu.config import EnvConfig
+    from multimodal_drl_rmc_tpu.sim.eval_on_device import _make_controller
+
+    cfg = EnvConfig()
+    occs = [0.0, 5.0, 25.0, 40.0, 17.0, 3.0, 60.0, 0.0]
+
+    # Host ALINEA recursion (numpy scalars).
+    rate_h = (180.0 + 1900.0) / 2
+    greens_h = []
+    for occ in occs:
+        rate_h = float(np.clip(rate_h + 60.0 * (17.0 - occ), 180.0, 1900.0))
+        g = rate_h * (cfg.cycle_seconds / 3600.0) / 0.5
+        greens_h.append(float(np.clip(g, 3.0, cfg.cycle_seconds)))
+
+    carry, step = _make_controller("AlineaDsBaseline", cfg, 1)
+    greens_d = []
+    for occ in occs:
+        carry, g = step(carry, jnp.asarray([occ], jnp.float32))
+        greens_d.append(float(g[0]))
+    np.testing.assert_allclose(greens_d, greens_h, rtol=1e-6)
+
+    # Host PI-ALINEA recursion with conditional anti-windup.
+    rate_h, integral = (180.0 + 1900.0) / 2, 0.0
+    greens_h = []
+    for occ in occs:
+        err = 17.0 - occ
+        integral += err
+        new_rate = rate_h + 60.0 * err + 10.0 * integral
+        if new_rate > 1800.0 or new_rate < 180.0:
+            integral -= err
+        rate_h = float(np.clip(new_rate, 180.0, 1800.0))
+        g = rate_h * (cfg.cycle_seconds / 3600.0) / 0.5
+        greens_h.append(float(np.clip(g, 3.0, cfg.cycle_seconds)))
+
+    carry, step = _make_controller("PiAlineaDsBaseline", cfg, 1)
+    greens_d = []
+    for occ in occs:
+        carry, g = step(carry, jnp.asarray([occ], jnp.float32))
+        greens_d.append(float(g[0]))
+    np.testing.assert_allclose(greens_d, greens_h, rtol=1e-6)
+
+
+def test_step_green_matches_step_on_action_grid():
+    """env.step_green(actions_sec[a]) must equal env.step(a) exactly —
+    the classical-controller path and the agent path share one cycle
+    kernel."""
+    import jax.numpy as jnp
+
+    from multimodal_drl_rmc_tpu.config import EnvConfig, ScenarioConfig
+    from multimodal_drl_rmc_tpu.sim.env import DeviceRampEnv
+
+    cfg = EnvConfig(scenario=ScenarioConfig(episode_seconds=200.0))
+    env = DeviceRampEnv(cfg, 2)
+    states, _ = env.reset(jax.random.PRNGKey(5))
+    actions = jnp.asarray([2, 6])
+    sa, (oa, na, ra, da, _) = env.step(states, actions)
+    sg, (og, ng, rg, dg, _) = env.step_green(
+        states, env.actions_sec[actions])
+    np.testing.assert_array_equal(np.asarray(oa), np.asarray(og))
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(rg))
+    np.testing.assert_array_equal(np.asarray(sa.sim.pos),
+                                  np.asarray(sg.sim.pos))
+
+
+def test_evaluate_strategy_rows():
+    """Device-protocol classical rows: host CSV schema, paired reset keys
+    with pack rows, and ALINEA metering restrictively at a congested
+    merge (sanity of the law's sign)."""
+    ev = DeviceEvaluator(n_episodes=2, master_seed=3, cycles=4)
+    rows = ev.evaluate_strategy("FixedCycleBaseline")
+    assert len(rows) == 2
+    assert rows[0]["model_path"] == "FixedCycleBaseline"
+    assert rows[0]["seed"] == 3 and rows[1]["seed"] == 4
+    assert rows[0]["total_throughput"] > 0
+    assert math.isfinite(rows[0]["avg_time_loss"])
+    # Same reset keys as pack rows: demand draws must match episode-wise.
+    packs = ev.evaluate([_pack("plain")])
+    for rs, rp in zip(rows, packs):
+        assert rs["main_flow_vph"] == rp["main_flow_vph"]
+        assert rs["con_penetration_rate"] == rp["con_penetration_rate"]
+    for strat in ("AlwaysGreenBaseline", "AlineaDsBaseline",
+                  "PiAlineaDsBaseline"):
+        r = ev.evaluate_strategy(strat)
+        assert len(r) == 2 and r[0]["total_throughput"] > 0, strat

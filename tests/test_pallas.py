@@ -224,7 +224,7 @@ def test_batched_env_step_matches_vmapped():
 
     ref_states, (ref_obs, ref_next, ref_rew, ref_done, _) = env.step(
         states, actions)
-    step_b = jax.jit(make_batched_step(cfg, interpret=True))
+    step_b = jax.jit(make_batched_step(cfg, interpret=True)[0])
     got_states, (got_obs, got_next, got_rew, got_done, _) = step_b(
         states, actions)
 
