@@ -104,6 +104,14 @@ class NativeSimBackend(TrafficBackend):
     def time(self) -> float:
         return float(self._lib.ts_time(self._handle))
 
+    # -- calibration introspection (mirrors sim/core.py zone_count and
+    # SimState.breakdown; used by scripts/diag_sim_trace.py) ---------------
+    def breakdown(self) -> float:
+        return float(self._lib.ts_breakdown(self._handle))
+
+    def zone_count(self) -> int:
+        return int(self._lib.ts_zone_count(self._handle))
+
     def set_phase(self, phase_index: int) -> None:
         self._lib.ts_set_phase(self._handle, int(phase_index))
 

@@ -433,6 +433,13 @@ void ts_set_phase(void* h, int phase) { static_cast<Sim*>(h)->phase = phase; }
 int ts_get_phase(void* h) { return static_cast<Sim*>(h)->phase; }
 double ts_time(void* h) { return static_cast<Sim*>(h)->t; }
 
+// Introspection for cross-simulator calibration (scripts/diag_sim_trace.py):
+// the hysteretic merge-breakdown level and the conflict-zone vehicle count
+// that drives it — the JAX sim exposes the same pair (sim/core.py
+// zone_count / SimState.breakdown).
+double ts_breakdown(void* h) { return static_cast<Sim*>(h)->breakdown; }
+int ts_zone_count(void* h) { return zone_count(*static_cast<Sim*>(h)); }
+
 int ts_interval_count(void* h, int loop) {
   return static_cast<Sim*>(h)->loops[loop].last_count;
 }

@@ -45,12 +45,17 @@ def build(force: bool = False) -> str:
     if (not force and not changed and os.path.isfile(_LIB)
             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
+    # Compile to a temp path and rename: overwriting the .so in place
+    # (g++ -o truncates) would corrupt the mapping of any process that
+    # already dlopen'd it (e.g. a running eval while constants change).
+    tmp = _LIB + ".tmp"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-o", _LIB, _SRC]
+           "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
     except subprocess.CalledProcessError as e:  # pragma: no cover
         raise RuntimeError(f"native sim build failed:\n{e.stderr}") from e
+    os.replace(tmp, _LIB)
     return _LIB
 
 
@@ -79,6 +84,10 @@ def load() -> ctypes.CDLL:
         lib.ts_get_phase.restype = c.c_int
         lib.ts_time.argtypes = [c.c_void_p]
         lib.ts_time.restype = c.c_double
+        lib.ts_breakdown.argtypes = [c.c_void_p]
+        lib.ts_breakdown.restype = c.c_double
+        lib.ts_zone_count.argtypes = [c.c_void_p]
+        lib.ts_zone_count.restype = c.c_int
         lib.ts_interval_count.argtypes = [c.c_void_p, c.c_int]
         lib.ts_interval_count.restype = c.c_int
         lib.ts_interval_occ.argtypes = [c.c_void_p, c.c_int]

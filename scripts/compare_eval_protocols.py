@@ -56,7 +56,9 @@ def main() -> None:
             print(f"{label}: only {len(m)} common snapshots — skipped")
             continue
         rho_delay = spearman(m["delay_host"], m["delay_dev"])
-        rho_worst = spearman(m["worst_host"], m["worst_dev"])
+        # Round-3 host sweeps predate the tail-aware columns.
+        rho_worst = (spearman(m["worst_host"], m["worst_dev"])
+                     if "worst_host" in m else float("nan"))
         top_host = m.nsmallest(3, "delay_host")["steps"].tolist()
         top_dev = m.nsmallest(3, "delay_dev")["steps"].tolist()
         overlap = len(set(top_host) & set(top_dev))
