@@ -87,8 +87,16 @@ def main() -> None:
                   f"cvar10 {s['cvar10']:.1f} worst {s['worst']:.1f} "
                   f"thr {s['thr_mean']:,.0f} "
                   f"spill-episodes {100*s['spillback_frac']:.1f}%", flush=True)
-    pd.DataFrame(summary).to_csv(os.path.join(args.out, "summary.csv"),
-                                 index=False)
+    # Merge into any existing summary so successive certification runs
+    # (agents one day, classical bars the next) accumulate instead of
+    # clobbering each other; a re-run of the same pack replaces its row.
+    out_csv = os.path.join(args.out, "summary.csv")
+    df = pd.DataFrame(summary)
+    if os.path.exists(out_csv):
+        prev = pd.read_csv(out_csv)
+        df = pd.concat([prev[~prev["pack"].isin(df["pack"])], df],
+                       ignore_index=True)
+    df.to_csv(out_csv, index=False)
 
 
 if __name__ == "__main__":
