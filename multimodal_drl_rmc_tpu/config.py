@@ -34,6 +34,15 @@ class ScenarioConfig:
     veh_per_hour_off_ramp: Sequence[int] = (100, 300, 500)
     veh_per_hour_off_ramp_weights: Sequence[float] = (0.4, 0.4, 0.2)
     con_penetration_rate_range: Sequence[float] = (0.01, 0.99)
+    # Driver-imperfection accel noise, m/s^2 std per substep (0 = off,
+    # the historical deterministic-IDM behavior). At bistable demand
+    # cells the deterministic sims' jam/free basin choice is decided by
+    # arithmetic precision (BENCHMARKS "Protocol divergence RESOLVED");
+    # sigma >> 1e-7 puts both the f32 device sim and the f64 native twin
+    # above that floor so their stability maps coincide. SUMO's Krauss
+    # model carries its own driver imperfection; the TraCI backend
+    # ignores this field.
+    accel_noise_sigma: float = 0.0
     generate_route_file: bool = True
     # Reference eval mode puts all-but-one vehicle in the connected class
     # (sumo_env.py:589-594); training mode splits by penetration rate

@@ -70,6 +70,8 @@ class NativeSimBackend(TrafficBackend):
             len(geo.loop_names), ip(arrs[5]), dp(arrs[6]),
             float(geo.ramp_edge_end), float(detector_period_s), dp(arrs[7]), 0,
         )
+        self._lib.ts_set_accel_noise(
+            self._handle, float(getattr(self.cfg, "accel_noise_sigma", 0.0)))
         self._ep_count = 0
         self.demand = DemandDraw(0, 0, 0, 0.0)
         self._snap_pos = np.zeros(_SNAP_CAP, np.float64)

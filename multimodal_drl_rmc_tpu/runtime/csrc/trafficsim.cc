@@ -91,6 +91,7 @@ struct Sim {
   int phase = 1;  // 0 green, 1 red
   double t = 0.0;
   double breakdown = 0.0;  // hysteretic merge-breakdown level [0, 1]
+  double accel_noise = 0.0;  // driver-imperfection sigma, m/s^2 (0 = off)
   double demand[4] = {0, 0, 0, 0};  // main, ramp, off vph + pen rate
   std::mt19937_64 rng;
 
@@ -160,6 +161,8 @@ bool cross_leader(const Chain& other, double offset, double zone_lo_common,
 
 void substep(Sim& s) {
   double acc[kMaxChains][kSlots];
+  std::normal_distribution<double> gauss(0.0, s.accel_noise > 0.0
+                                                  ? s.accel_noise : 1.0);
   // Breakdown-driven merge friction (hysteresis state updates per second
   // in step_1s).
   double fr_lo = s.merge_zone_lo + s.merge_offset - kFrictionWindow;
@@ -211,7 +214,13 @@ void substep(Sim& s) {
       double t_headway = base_t;
       if (c < 4 && v.pos + off >= zone_lo_common - kFrictionWindow)
         t_headway *= friction;
-      acc[c][i] = idm_accel(v.speed, ch.speed_limit(v.pos), gap, dv, t_headway);
+      double a = idm_accel(v.speed, ch.speed_limit(v.pos), gap, dv, t_headway);
+      // Driver-imperfection jitter (ts_set_accel_noise), re-clipped to the
+      // same physical bounds as the deterministic IDM response (the JAX
+      // sim applies the identical rule, sim/core.py _substep).
+      if (s.accel_noise > 0.0)
+        a = std::clamp(a + gauss(s.rng), -kEmergencyB, kIdmA);
+      acc[c][i] = a;
     }
   }
   for (int c = 0; c < s.n_chains; ++c) {
@@ -439,6 +448,9 @@ double ts_time(void* h) { return static_cast<Sim*>(h)->t; }
 // zone_count / SimState.breakdown).
 double ts_breakdown(void* h) { return static_cast<Sim*>(h)->breakdown; }
 int ts_zone_count(void* h) { return zone_count(*static_cast<Sim*>(h)); }
+void ts_set_accel_noise(void* h, double sigma) {
+  static_cast<Sim*>(h)->accel_noise = sigma;
+}
 
 int ts_interval_count(void* h, int loop) {
   return static_cast<Sim*>(h)->loops[loop].last_count;

@@ -88,6 +88,7 @@ def load() -> ctypes.CDLL:
         lib.ts_breakdown.restype = c.c_double
         lib.ts_zone_count.argtypes = [c.c_void_p]
         lib.ts_zone_count.restype = c.c_int
+        lib.ts_set_accel_noise.argtypes = [c.c_void_p, c.c_double]
         lib.ts_interval_count.argtypes = [c.c_void_p, c.c_int]
         lib.ts_interval_count.restype = c.c_int
         lib.ts_interval_occ.argtypes = [c.c_void_p, c.c_int]

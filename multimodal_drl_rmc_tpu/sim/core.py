@@ -270,7 +270,7 @@ def _cross_lookup(pos_common, valid, sufp, sufs):
     return gap, jnp.where(jnp.isfinite(gap), lead_s, 0.0)
 
 
-def _substep(state: SimState) -> SimState:
+def _substep(state: SimState, noise: jax.Array | None = None) -> SimState:
     pos, speed, active = state.pos, state.speed, state.active
     idx = jnp.arange(SLOTS)
 
@@ -318,6 +318,10 @@ def _substep(state: SimState) -> SimState:
 
     v0 = _speed_limit(pos)
     acc = _idm_accel(speed, v0, gap, dv, t_headway)
+    if noise is not None:
+        # Driver-imperfection jitter (accel_noise_sigma): re-clipped to the
+        # same physical bounds as the deterministic IDM response.
+        acc = jnp.clip(acc + noise, -EMERGENCY_B, IDM_A)
     new_speed = jnp.where(active, jnp.maximum(speed + acc * DT_SUB, 0.0), 0.0)
     new_pos = jnp.where(active, pos + new_speed * DT_SUB, pos)
     new_wait = jnp.where(active & (new_speed < 0.1), state.wait + DT_SUB, state.wait)
@@ -481,10 +485,10 @@ def use_pallas_substeps() -> bool:
     return _PALLAS_CHOICE["v"]
 
 
-def _physics(state: SimState) -> SimState:
-    if not use_pallas_substeps():
-        for _ in range(SUBSTEPS):
-            state = _substep(state)
+def _physics(state: SimState, noise: jax.Array | None = None) -> SimState:
+    if noise is not None or not use_pallas_substeps():
+        for k in range(SUBSTEPS):
+            state = _substep(state, None if noise is None else noise[k])
         return state
     from ..ops.pallas.sim_step import fused_substeps
 
@@ -567,16 +571,28 @@ def _step_1s_full_pallas(state: SimState, u_con: jax.Array,
     )
 
 
-def step_1s(state: SimState) -> SimState:
-    """One simulation second: physics substeps, detectors, exits, spawns."""
+def step_1s(state: SimState, sigma: float = 0.0) -> SimState:
+    """One simulation second: physics substeps, detectors, exits, spawns.
+
+    ``sigma`` > 0 enables driver-imperfection accel noise (seeded from the
+    env RNG stream; see config.ScenarioConfig.accel_noise_sigma). The RNG
+    stream at sigma == 0 is byte-identical to pre-noise builds, and the
+    noise path always runs the XLA substeps (the fused Pallas kernel has
+    no in-kernel RNG)."""
     rng, r_con = jax.random.split(state.rng)
     u_con = jax.random.uniform(r_con, (N_CHAINS,))
     state = state._replace(rng=rng)
-    if use_pallas_substeps():
+    if sigma == 0.0 and use_pallas_substeps():
         return _step_1s_full_pallas(state, u_con)
+    noise = None
+    if sigma > 0.0:
+        rng, r_noise = jax.random.split(state.rng)
+        state = state._replace(rng=rng)
+        noise = sigma * jax.random.normal(
+            r_noise, (SUBSTEPS, N_CHAINS, SLOTS), jnp.float32)
     speed_prev = state.speed
     pos_prev = state.pos
-    state = _physics(state)
+    state = _physics(state, noise)
     state = state._replace(t=state.t + 1.0)
     state = _detector_pass(state, pos_prev)
     state = _accumulate_emissions(state, speed_prev)
@@ -595,7 +611,8 @@ def default_block() -> int:
 
 
 def step_1s_batched(state: SimState, interpret: bool = False,
-                    block: int | None = None) -> SimState:
+                    block: int | None = None,
+                    sigma: float = 0.0) -> SimState:
     """One sim second for a BATCHED SimState (leading [B] on every leaf),
     feeding the whole batch to ``fused_step_full`` as kernel blocks
     (BT = ``block`` envs per grid program) instead of vmapping the
@@ -603,6 +620,10 @@ def step_1s_batched(state: SimState, interpret: bool = False,
     vmapped ``step_1s`` on the Pallas path (tests/test_pallas.py asserts
     parity).
     """
+    if sigma > 0.0:
+        # Noise mode runs the XLA path (no in-kernel RNG in the fused
+        # Pallas kernel); the batch is vmapped single-env steps.
+        return jax.vmap(lambda s: step_1s(s, sigma))(state)
     from ..ops.pallas.sim_step import fused_step_full
 
     split = jax.vmap(jax.random.split)(state.rng)           # [B, 2, 2]

@@ -208,6 +208,7 @@ def make_env_fns(cfg: EnvConfig):
     cyc = int(cfg.cycle_seconds)
     episode_s = cfg.scenario.episode_seconds
     scen = cfg.scenario
+    sigma = float(getattr(scen, "accel_noise_sigma", 0.0))
 
     def reset_one(rng: jax.Array) -> EnvState:
         return EnvState(reset(rng, scen), actions_sec[0])
@@ -228,7 +229,7 @@ def make_env_fns(cfg: EnvConfig):
 
         def body(s, i):
             s = s._replace(phase=jnp.where(i < green, GREEN, RED).astype(jnp.int32))
-            return step_1s(s), None
+            return step_1s(s, sigma), None
 
         sim, _ = jax.lax.scan(body, sim, jnp.arange(cyc, dtype=jnp.float32))
         m = cycle_metrics(sim, cfg.cycle_seconds)
@@ -270,6 +271,7 @@ def make_batched_step(cfg: EnvConfig, interpret: bool | None = None,
     actions_sec = jnp.asarray(cfg.green_time_actions_sec, jnp.float32)
     cyc = int(cfg.cycle_seconds)
     episode_s = cfg.scenario.episode_seconds
+    sigma = float(getattr(cfg.scenario, "accel_noise_sigma", 0.0))
 
     def step_batched(es: EnvState, actions: jax.Array):
         green = actions_sec[jnp.clip(actions, 0, len(actions_sec) - 1)]  # [B]
@@ -281,7 +283,7 @@ def make_batched_step(cfg: EnvConfig, interpret: bool | None = None,
         def body(s, i):
             phase = jnp.where(i < green, GREEN, RED).astype(jnp.int32)
             return step_1s_batched(s._replace(phase=phase), interpret,
-                                   block), None
+                                   block, sigma), None
 
         sim, _ = jax.lax.scan(body, sim, jnp.arange(cyc, dtype=jnp.float32))
         m = jax.vmap(lambda s: cycle_metrics(s, cfg.cycle_seconds))(sim)

@@ -54,7 +54,8 @@ def build_f32() -> str:
     return lib
 
 
-def run(lib_path, main, ramp, off, pen, green, cycles, f32):
+def run(lib_path, main, ramp, off, pen, green, cycles, f32, noise=0.0,
+        seed=0):
     from multimodal_drl_rmc_tpu.sim.geometry import GEO
 
     real = ctypes.c_float if f32 else ctypes.c_double
@@ -71,6 +72,7 @@ def run(lib_path, main, ramp, off, pen, green, cycles, f32):
     lib.ts_trip_stats.argtypes = [ctypes.c_void_p, rp]
     lib.ts_zone_count.argtypes = [ctypes.c_void_p]
     lib.ts_zone_count.restype = ctypes.c_int
+    lib.ts_set_accel_noise.argtypes = [ctypes.c_void_p, real]
 
     dt = np.float32 if f32 else np.float64
 
@@ -92,7 +94,8 @@ def run(lib_path, main, ramp, off, pen, green, cycles, f32):
                       real(GEO.merge_offset), real(GEO.merge_zone_lo),
                       len(GEO.loop_names), p(keep[5]), p(keep[6]),
                       real(GEO.ramp_edge_end), real(40.0), p(keep[7]), 0)
-    lib.ts_reset(h, real(main), real(ramp), real(off), real(pen), 0)
+    lib.ts_set_accel_noise(h, real(noise))
+    lib.ts_reset(h, real(main), real(ramp), real(off), real(pen), seed)
     for _ in range(5):
         lib.ts_step(h, 1, 1)
     zmax = 0
@@ -112,16 +115,19 @@ def main(argv=None) -> None:
     ap.add_argument("--pen", type=float, default=0.5)
     ap.add_argument("--green", type=float, default=30.0)
     ap.add_argument("--cycles", type=int, default=30)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="driver accel noise sigma (m/s^2) for both builds")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
     from multimodal_drl_rmc_tpu.runtime.native_build import build
 
     d64, z64 = run(build(), args.main, args.ramp, args.off, args.pen,
-                   args.green, args.cycles, f32=False)
+                   args.green, args.cycles, f32=False, noise=args.noise, seed=args.seed)
     d32, z32 = run(build_f32(), args.main, args.ramp, args.off, args.pen,
-                   args.green, args.cycles, f32=True)
+                   args.green, args.cycles, f32=True, noise=args.noise, seed=args.seed)
     print(f"main={args.main:.0f} ramp={args.ramp:.0f} green={args.green:.0f}"
-          f" cycles={args.cycles}")
+          f" cycles={args.cycles} noise={args.noise} seed={args.seed}")
     print(f"  C++ f64: delay {d64:7.2f}  zone max {z64}")
     print(f"  C++ f32: delay {d32:7.2f}  zone max {z32}")
 

@@ -42,7 +42,8 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("MDRLRMC_PALLAS", "0")  # XLA path (CPU)
 
 
-def device_trace(main, ramp, off, pen, green, cycles, exact_merge, f64):
+def device_trace(main, ramp, off, pen, green, cycles, exact_merge, f64,
+                 noise=0.0, seed=0):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -79,8 +80,9 @@ def device_trace(main, ramp, off, pen, green, cycles, exact_merge, f64):
         veh_per_hour_main=(main,), veh_per_hour_main_weights=(1.0,),
         veh_per_hour_on_ramp=(ramp,), veh_per_hour_on_ramp_weights=(1.0,),
         veh_per_hour_off_ramp=(off,), veh_per_hour_off_ramp_weights=(1.0,),
-        con_penetration_rate_range=(pen, pen))
-    state = core.reset(jax.random.PRNGKey(0), scen)
+        con_penetration_rate_range=(pen, pen),
+        accel_noise_sigma=noise)
+    state = core.reset(jax.random.PRNGKey(seed), scen)
 
     sched = jnp.asarray(
         [GREEN if s < green else RED for s in range(40)], jnp.int32)
@@ -88,7 +90,7 @@ def device_trace(main, ramp, off, pen, green, cycles, exact_merge, f64):
     @jax.jit
     def one_cycle(state):
         def body(s, ph):
-            s = core.step_1s(s._replace(phase=ph))
+            s = core.step_1s(s._replace(phase=ph), noise)
             return s, (zone_count(s), s.breakdown)
 
         state, (z, b) = jax.lax.scan(body, state, sched)
@@ -108,7 +110,8 @@ def device_trace(main, ramp, off, pen, green, cycles, exact_merge, f64):
             np.asarray(arr), np.asarray(loss))
 
 
-def native_trace(main, ramp, off, pen, green, cycles):
+def native_trace(main, ramp, off, pen, green, cycles, noise=0.0,
+                 seed=0):
     import ctypes
 
     import numpy as np
@@ -120,9 +123,10 @@ def native_trace(main, ramp, off, pen, green, cycles):
         veh_per_hour_main=(main,), veh_per_hour_main_weights=(1.0,),
         veh_per_hour_on_ramp=(ramp,), veh_per_hour_on_ramp_weights=(1.0,),
         veh_per_hour_off_ramp=(off,), veh_per_hour_off_ramp_weights=(1.0,),
-        con_penetration_rate_range=(pen, pen))
+        con_penetration_rate_range=(pen, pen),
+        accel_noise_sigma=noise)
     be = NativeSimBackend(scen)
-    be.reset(seed=0)
+    be.reset(seed=seed)
     # 5 s red warm-up: device reset() bakes this in; on the host it is the
     # controller's job (rl_controller.py:165-173), so replicate here.
     be.set_phase(1)
@@ -235,6 +239,10 @@ def main(argv=None) -> None:
     ap.add_argument("--cycles", type=int, default=90)
     ap.add_argument("--exact-merge", action="store_true")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="accel_noise_sigma for BOTH sims (statistical, "
+                         "not trajectory, comparison when > 0)")
     ap.add_argument("--findiff", action="store_true",
                     help="report the first per-vehicle divergence instead "
                          "of the cycle table")
@@ -250,10 +258,11 @@ def main(argv=None) -> None:
     import numpy as np
 
     nz, nb, narr, nloss = native_trace(
-        args.main, args.ramp, args.off, args.pen, args.green, args.cycles)
+        args.main, args.ramp, args.off, args.pen, args.green, args.cycles,
+        args.noise, args.seed)
     dz, db, darr, dloss = device_trace(
         args.main, args.ramp, args.off, args.pen, args.green, args.cycles,
-        args.exact_merge, args.f64)
+        args.exact_merge, args.f64, args.noise, args.seed)
 
     tag = ("device" + ("+exact" if args.exact_merge else "")
            + ("+f64" if args.f64 else ""))

@@ -134,3 +134,69 @@ def test_determinism_across_runs(env):
     _, out1 = env.step(s1, a)
     _, out2 = env.step(s2, a)
     np.testing.assert_array_equal(np.asarray(out1[2]), np.asarray(out2[2]))
+
+
+# -- driver-imperfection accel noise (config.ScenarioConfig.accel_noise_sigma,
+# off by default; BENCHMARKS "Driver-noise mode") --------------------------
+
+
+def _roll(state, sigma, n=30):
+    from multimodal_drl_rmc_tpu.sim import core
+
+    @jax.jit
+    def run(s):
+        def body(s, _):
+            return core.step_1s(s._replace(phase=jnp.asarray(0, jnp.int32)),
+                                sigma), None
+        return jax.lax.scan(body, s, None, length=n)[0]
+
+    return run(state)
+
+
+def test_accel_noise_zero_is_bit_identical():
+    """sigma=0 must not change the RNG stream or any state leaf — the
+    historical deterministic behavior is the default."""
+    from multimodal_drl_rmc_tpu.sim import core
+
+    s0 = core.reset(jax.random.PRNGKey(3), SHORT)
+    a = _roll(s0, 0.0)
+    b = _roll(s0, sigma=0.0)
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_accel_noise_perturbs_seeded_and_bounded():
+    from multimodal_drl_rmc_tpu.sim import core
+
+    s0 = core.reset(jax.random.PRNGKey(3), SHORT)
+    det = _roll(s0, 0.0)
+    n1 = _roll(s0, 0.1)
+    n2 = _roll(s0, 0.1)
+    # Seeded: same rng stream -> identical noisy trajectory.
+    np.testing.assert_array_equal(np.asarray(n1.speed), np.asarray(n2.speed))
+    act = np.asarray(det.active) & np.asarray(n1.active)
+    dv = (np.asarray(n1.speed) - np.asarray(det.speed))[act]
+    assert dv.std() > 1e-3  # it does perturb...
+    # ...at the per-second diffusion scale, not wildly (sigma*dt*sqrt(2*n)
+    # is the zero-damping bound ~0.39 for n=30; IDM damping keeps it below).
+    assert dv.std() < 1.0
+    # Physical invariants survive the perturbation.
+    assert np.all(np.asarray(n1.speed)[np.asarray(n1.active)] >= 0.0)
+    assert np.isfinite(np.asarray(n1.pos)).all()
+
+
+def test_accel_noise_env_paths_run():
+    """Env-level wiring: both the single-env scan path and the batched
+    path honor cfg.scenario.accel_noise_sigma (the batched kernel path
+    falls back to vmapped XLA steps when sigma > 0)."""
+    noisy = ScenarioConfig(episode_seconds=200.0, accel_noise_sigma=0.1)
+    env = DeviceRampEnv(EnvConfig(scenario=noisy), batch=2)
+    states, _ = env.reset(jax.random.PRNGKey(0))
+    states, (_, obs, rew, done, info) = env.step(states, jnp.asarray([4, 4]))
+    assert np.isfinite(np.asarray(obs)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+
+    det_env = DeviceRampEnv(EnvConfig(scenario=SHORT), batch=2)
+    dstates, _ = det_env.reset(jax.random.PRNGKey(0))
+    dstates, (_, dobs, _, _, _) = det_env.step(dstates, jnp.asarray([4, 4]))
+    assert not np.array_equal(np.asarray(obs), np.asarray(dobs))

@@ -180,3 +180,27 @@ def test_emissions_penalize_idling_independently_of_ttt():
     rate_green = co2_green / max(tt_green, 1.0)
     rate_red = co2_red / max(tt_red, 1.0)
     assert abs(rate_green - rate_red) / rate_green > 0.02
+
+
+def test_accel_noise_perturbs_and_seeded():
+    """cfg.accel_noise_sigma wires through to ts_set_accel_noise: noisy
+    trajectories differ from deterministic ones, equal-seed noisy runs
+    reproduce, and sigma=0 keeps the historical behavior (the noise draws
+    share the sim RNG, so determinism is per (seed, sigma))."""
+    noisy_cfg = ScenarioConfig(episode_seconds=200.0, accel_noise_sigma=0.2)
+
+    def speeds(cfg, seed):
+        be = NativeSimBackend(cfg)
+        be.reset(seed=seed)
+        be.set_phase(GREEN_PHASE)
+        for _ in range(120):
+            be.step()
+        return np.asarray(be.vehicle_snapshot().speed)
+
+    det1, det2 = speeds(SHORT, 11), speeds(SHORT, 11)
+    np.testing.assert_array_equal(det1, det2)
+    n1, n2 = speeds(noisy_cfg, 11), speeds(noisy_cfg, 11)
+    np.testing.assert_array_equal(n1, n2)
+    m = min(len(det1), len(n1))
+    assert m > 20
+    assert np.abs(n1[:m] - det1[:m]).max() > 1e-3
