@@ -61,17 +61,25 @@ def evaluate_strategy(
     spillback_threshold: float = 20.0,
     pen_rate: float | None = None,
     tag: str = "",
+    noise: float = 0.0,
 ) -> pd.DataFrame:
     """``pen_rate`` freezes the CV penetration draw for the detection
     ablation (reference: full detection puts ~all vehicles in the connected
     class, sumo_env.py:586-594; partial keeps the training draw :597-602).
-    ``tag`` suffixes the results CSV name (results_<Strategy><tag>.csv)."""
-    if pen_rate is not None:
+    ``tag`` suffixes the results CSV name (results_<Strategy><tag>.csv).
+    ``noise`` > 0 sets scenario.accel_noise_sigma — the driver-imperfection
+    stress protocol (BENCHMARKS "Driver-noise mode"); noise-mode numbers
+    are comparable only to other noise-mode numbers."""
+    if pen_rate is not None or noise > 0.0:
         import dataclasses
 
         cfg = cfg or Config()
-        scen = dataclasses.replace(
-            cfg.env.scenario, con_penetration_rate_range=(pen_rate, pen_rate))
+        scen = cfg.env.scenario
+        if pen_rate is not None:
+            scen = dataclasses.replace(
+                scen, con_penetration_rate_range=(pen_rate, pen_rate))
+        if noise > 0.0:
+            scen = dataclasses.replace(scen, accel_noise_sigma=noise)
         cfg = cfg.replace(env=dataclasses.replace(cfg.env, scenario=scen))
     os.makedirs(output_dir, exist_ok=True)
     rows = []
@@ -136,6 +144,9 @@ def main(argv=None) -> None:
                              "ablation); default keeps the training draw")
     parser.add_argument("--tag", type=str, default="",
                         help="suffix for the results CSV name")
+    parser.add_argument("--noise", type=float, default=0.0,
+                        help="driver-imperfection accel noise sigma (m/s^2); "
+                             "stress protocol, see BENCHMARKS")
     args = parser.parse_args(argv)
     evaluate_strategy(
         args.strategy,
@@ -147,6 +158,7 @@ def main(argv=None) -> None:
         obs_variant=args.obs_variant,
         pen_rate=args.pen_rate,
         tag=args.tag,
+        noise=args.noise,
     )
 
 

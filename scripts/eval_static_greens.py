@@ -43,6 +43,10 @@ def main(argv=None) -> None:
     ap.add_argument("-d", "--model", default=DEFAULT_PACK)
     ap.add_argument("--actions", type=int, nargs="*", default=None,
                     help="action indices to sweep (default: all)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="driver-imperfection accel noise sigma (m/s^2)")
+    ap.add_argument("--tag-suffix", default="",
+                    help="extra CSV-tag suffix (e.g. Noise01)")
     args = ap.parse_args(argv)
 
     greens = Config().env.green_time_actions_sec
@@ -51,7 +55,7 @@ def main(argv=None) -> None:
     orig_action = PolicyRunner.action
     try:
         for act in actions:
-            tag = f"StaticG{int(greens[act])}"
+            tag = f"StaticG{int(greens[act])}{args.tag_suffix}"
             out_csv = os.path.join(args.o, f"results_DQNAgent{tag}.csv")
             if os.path.exists(out_csv):
                 print(f"skip {tag}: {out_csv} exists")
@@ -60,13 +64,14 @@ def main(argv=None) -> None:
             ev.main(["-s", "DQNAgent", "-n", str(args.n),
                      "--master-seed", str(args.master_seed),
                      "--backend", args.backend, "-d", args.model,
-                     "--tag", tag, "-o", args.o])
+                     "--tag", tag, "-o", args.o,
+                     "--noise", str(args.noise)])
     finally:
         PolicyRunner.action = orig_action
 
     print(f"\n{'green':>6} {'TTT':>10} {'delay':>7} {'thr':>6} {'spill':>7}")
     for act in actions:
-        tag = f"StaticG{int(greens[act])}"
+        tag = f"StaticG{int(greens[act])}{args.tag_suffix}"
         path = os.path.join(args.o, f"results_DQNAgent{tag}.csv")
         if not os.path.exists(path):
             continue
