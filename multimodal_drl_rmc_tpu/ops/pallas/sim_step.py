@@ -198,10 +198,13 @@ def _lookup(oh, pos_c, act, sufp, sufs):
 
 
 def _substep_body(pos, speed, act, wait, head, red, friction, seg_start,
-                  seg_end, seg_speed, stop_line):
+                  seg_end, seg_speed, stop_line, noise=None):
     """One DT_SUB physics step. pos/speed/act/wait [BT, C, N]; head
     [BT, C]; red/friction [BT, 1, 1]; segment tables [S, C];
-    stop_line [C, 1]."""
+    stop_line [C, 1]; noise: optional [BT, C, N] driver-imperfection
+    accel jitter (config.ScenarioConfig.accel_noise_sigma) — pre-drawn
+    OUTSIDE the kernel from the same stream the XLA path uses, like the
+    spawn uniforms, so both paths stay bit-comparable."""
     col = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 2)
 
     lead_pos = pltpu.roll(pos, 1, axis=2)
@@ -267,6 +270,10 @@ def _substep_body(pos, speed, act, wait, head, red, friction, seg_start,
     r2 = ratio * ratio
     acc = IDM_A * (1.0 - r2 * r2 - (s_star / g) * (s_star / g))
     acc = jnp.clip(acc, -EMERGENCY_B, IDM_A)
+    if noise is not None:
+        # Same rule as sim.core._substep: jitter the clipped IDM response,
+        # re-clip to the identical physical bounds.
+        acc = jnp.clip(acc + noise, -EMERGENCY_B, IDM_A)
 
     active = act > 0.5
     new_speed = jnp.where(active, jnp.maximum(speed + acc * DT_SUB, 0.0), 0.0)
@@ -492,14 +499,23 @@ RAMP_EDGE_END = float(GEO.ramp_edge_end)
 def _full_kernel(pos_ref, speed_ref, act_ref, conn_ref, wait_ref, depart_ref,
                  head_ref, count_ref, pending_ref,
                  red_ref, bkd_ref, t_ref, pen_ref, ucon_ref, rate_ref,
-                 seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
-                 loop_ref, clen_ref,
-                 pos_out, speed_out, act_out, conn_out, wait_out, depart_out,
-                 head_out, count_out, pending_out,
-                 cnt_out, spd_out, occ_out,
-                 queue_out, bkd_out,
-                 arr_out, trav_out, loss_out, waitsum_out,
-                 co2_out, nox_out, dep_out, *, substeps: int):
+                 *refs, substeps: int, noisy: bool = False):
+    # Optional driver-noise input ([BT, substeps*C, N], substep-major)
+    # arrives between the state inputs and the constant tables; peel it
+    # off positionally so the sigma=0 kernel keeps its exact historical
+    # signature (and compiled artifact).
+    if noisy:
+        noise_ref, *refs = refs
+    else:
+        noise_ref = None
+    (seg_start_ref, seg_end_ref, seg_speed_ref, stop_ref,
+     loop_ref, clen_ref,
+     pos_out, speed_out, act_out, conn_out, wait_out, depart_out,
+     head_out, count_out, pending_out,
+     cnt_out, spd_out, occ_out,
+     queue_out, bkd_out,
+     arr_out, trav_out, loss_out, waitsum_out,
+     co2_out, nox_out, dep_out) = refs
     pos = pos_ref[:]
     speed = speed_ref[:]
     act = act_ref[:]
@@ -526,10 +542,15 @@ def _full_kernel(pos_ref, speed_ref, act_ref, conn_ref, wait_ref, depart_ref,
     friction = (1.0 + FRICTION_ALPHA * b_in)[:, :, None]     # [BT, 1, 1]
     p0 = pos
     speed0 = speed
-    for _ in range(substeps):
+    for k in range(substeps):
+        ns = None
+        if noise_ref is not None:
+            # Substep-major packing: slice on the sublane axis (static
+            # offsets — a lane-axis slice would lower to a gather).
+            ns = noise_ref[:, k * N_CHAINS:(k + 1) * N_CHAINS, :]
         pos, speed, wait = _substep_body(
             pos, speed, act, wait, head, red, friction,
-            seg_start, seg_end, seg_speed, stop)
+            seg_start, seg_end, seg_speed, stop, noise=ns)
 
     # --- detectors + ramp queue (post-physics, pre-pop: sim.core order) ---
     cnt, spd, occ = _detector_block(p0, pos, speed, act, loop_ref[:])
@@ -635,15 +656,18 @@ def _full_kernel(pos_ref, speed_ref, act_ref, conn_ref, wait_ref, depart_ref,
 
 @functools.partial(jax.jit, static_argnames=("substeps", "block", "interpret"))
 def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
-                    pending, red, breakdown, t, pen, ucon, rate, *,
-                    substeps: int = 2, block: int = 8,
+                    pending, red, breakdown, t, pen, ucon, rate, noise=None,
+                    *, substeps: int = 2, block: int = 8,
                     interpret: bool = False):
     """One complete sim second for a batch of envs in one kernel.
 
     pos/speed/active/conn/wait/depart: [B, C, N] f32 (masks as 0/1);
     head/count: [B, C] i32; pending: [B, C] f32; red/breakdown/t/pen: [B]
     f32; ucon/rate: [B, C] f32 (pre-drawn connected-class uniforms, demand
-    rate veh/s). Returns the updated state arrays plus this step's detector
+    rate veh/s); noise: optional [B, substeps, C, N] f32 driver-
+    imperfection accel jitter, pre-drawn outside like ucon (sigma > 0
+    path; None keeps the historical kernel). Returns the updated state
+    arrays plus this step's detector
     aggregates, ramp queue, new breakdown level, trip-stat deltas
     (arrived/travel/loss/wait per chain) and co2/nox/departed deltas.
     """
@@ -681,8 +705,17 @@ def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
     shp2i = jax.ShapeDtypeStruct((b, N_CHAINS), jnp.int32)
     shp1 = jax.ShapeDtypeStruct((b, 1), jnp.float32)
     shpk = jax.ShapeDtypeStruct((b, N_CHAINS, LOOPS_PER_CHAIN), jnp.float32)
+    noisy = noise is not None
+    noise_in, noise_specs = (), []
+    if noisy:
+        # Substep-major [B, substeps*C, N] so the kernel's per-substep
+        # slice lands on the sublane axis.
+        noise_in = (jnp.reshape(noise, (b, substeps * N_CHAINS, SLOTS)),)
+        noise_specs = [pl.BlockSpec((bt, substeps * N_CHAINS, SLOTS),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)]
     out = pl.pallas_call(
-        functools.partial(_full_kernel, substeps=substeps),
+        functools.partial(_full_kernel, substeps=substeps, noisy=noisy),
         out_shape=(shp3, shp3, shp3, shp3, shp3, shp3,      # pos..depart
                    shp2i, shp2i, shp2f,                     # head/count/pending
                    shpk, shpk, shpk,                        # cnt/spd/occ
@@ -693,6 +726,7 @@ def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
         in_specs=[spec3, spec3, spec3, spec3, spec3, spec3,
                   spec2, spec2, spec2,
                   spec1, spec1, spec1, spec1, spec2, spec2,
+                  *noise_specs,
                   seg_spec, seg_spec, seg_spec, stop_spec, loop_spec,
                   clen_spec],
         out_specs=(spec3, spec3, spec3, spec3, spec3, spec3,
@@ -705,5 +739,6 @@ def fused_step_full(pos, speed, active, conn, wait, depart, head, count,
         interpret=interpret,
     )(pos, speed, active, conn, wait, depart, head, count, pending,
       red[:, None], breakdown[:, None], t[:, None], pen[:, None], ucon, rate,
+      *noise_in,
       seg_start, seg_end, seg_speed, stop, loop_kc, clen)
     return out

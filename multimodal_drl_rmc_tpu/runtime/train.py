@@ -35,6 +35,11 @@ from .metrics import EpisodeStats, MetricsWriter, StepTimer
 
 def build_config(args) -> Config:
     env = EnvConfig(obs_variant=args.obs_variant)
+    noise = float(getattr(args, "accel_noise", 0.0) or 0.0)
+    if noise > 0.0:
+        env = dataclasses.replace(
+            env, scenario=dataclasses.replace(
+                env.scenario, accel_noise_sigma=noise))
     hp = HyperParams(
         n_env=max(1, args.n_env), lr=args.lr, gamma=args.gamma,
         eps_start=args.eps_start, eps_min=args.eps_min, eps_dec=args.eps_dec,
@@ -323,6 +328,12 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
                              "backend only). Per-seed outputs go to "
                              "<save_dir>/s<seed>/ (or a literal {seed} "
                              "placeholder in -save_dir/-log_dir).")
+    parser.add_argument("-accel_noise", type=float, default=0.0,
+                        help="driver-imperfection accel noise sigma (m/s^2) "
+                             "during training; stress/robustness protocol "
+                             "(BENCHMARKS 'Driver-noise mode'). The noise "
+                             "rides the fused Pallas kernel as a pre-drawn "
+                             "input.")
     parser.add_argument("-obs_dtype", type=str, default=hp.obs_dtype,
                         choices=("float32", "bfloat16", "float16"),
                         help="replay storage dtype for obs/next_obs (insert "

@@ -523,6 +523,7 @@ def _accumulate_emissions(state: SimState, speed_prev: jax.Array) -> SimState:
 
 
 def _step_1s_full_pallas(state: SimState, u_con: jax.Array,
+                         noise: jax.Array | None = None,
                          interpret: bool = False) -> SimState:
     """The COMPLETE sim second as one kernel call (physics + detectors +
     emissions + breakdown + pop + spawn); the XLA epilogue is only the
@@ -543,6 +544,7 @@ def _step_1s_full_pallas(state: SimState, u_con: jax.Array,
         state.head[None], state.count[None], state.pending[None],
         red[None], state.breakdown[None], state.t[None], pen[None],
         u_con[None], rate[None],
+        None if noise is None else noise[None],
         substeps=SUBSTEPS, block=1, interpret=interpret,
     )
     cnt, spd, occ = cnt[0], spd[0], occ[0]
@@ -576,20 +578,20 @@ def step_1s(state: SimState, sigma: float = 0.0) -> SimState:
 
     ``sigma`` > 0 enables driver-imperfection accel noise (seeded from the
     env RNG stream; see config.ScenarioConfig.accel_noise_sigma). The RNG
-    stream at sigma == 0 is byte-identical to pre-noise builds, and the
-    noise path always runs the XLA substeps (the fused Pallas kernel has
-    no in-kernel RNG)."""
+    stream at sigma == 0 is byte-identical to pre-noise builds. The noise
+    values are drawn OUTSIDE the kernel (like the spawn uniforms) so the
+    Pallas and XLA noise paths consume the identical stream."""
     rng, r_con = jax.random.split(state.rng)
     u_con = jax.random.uniform(r_con, (N_CHAINS,))
     state = state._replace(rng=rng)
-    if sigma == 0.0 and use_pallas_substeps():
-        return _step_1s_full_pallas(state, u_con)
     noise = None
     if sigma > 0.0:
         rng, r_noise = jax.random.split(state.rng)
         state = state._replace(rng=rng)
         noise = sigma * jax.random.normal(
             r_noise, (SUBSTEPS, N_CHAINS, SLOTS), jnp.float32)
+    if use_pallas_substeps():
+        return _step_1s_full_pallas(state, u_con, noise)
     speed_prev = state.speed
     pos_prev = state.pos
     state = _physics(state, noise)
@@ -620,16 +622,21 @@ def step_1s_batched(state: SimState, interpret: bool = False,
     vmapped ``step_1s`` on the Pallas path (tests/test_pallas.py asserts
     parity).
     """
-    if sigma > 0.0:
-        # Noise mode runs the XLA path (no in-kernel RNG in the fused
-        # Pallas kernel); the batch is vmapped single-env steps.
-        return jax.vmap(lambda s: step_1s(s, sigma))(state)
     from ..ops.pallas.sim_step import fused_step_full
 
     split = jax.vmap(jax.random.split)(state.rng)           # [B, 2, 2]
     rng, r_con = split[:, 0], split[:, 1]
     u_con = jax.vmap(lambda k: jax.random.uniform(k, (N_CHAINS,)))(r_con)
     state = state._replace(rng=rng)
+    noise = None
+    if sigma > 0.0:
+        # Same per-env split order as vmapped step_1s — the two noise
+        # paths consume the identical stream (tests/test_pallas.py).
+        split = jax.vmap(jax.random.split)(state.rng)       # [B, 2, 2]
+        rng, r_noise = split[:, 0], split[:, 1]
+        state = state._replace(rng=rng)
+        noise = sigma * jax.vmap(lambda k: jax.random.normal(
+            k, (SUBSTEPS, N_CHAINS, SLOTS), jnp.float32))(r_noise)
 
     red = (state.phase == RED).astype(jnp.float32)          # [B]
     rate = jax.vmap(_demand_rate_vps)(state)                # [B, C]
@@ -640,7 +647,7 @@ def step_1s_batched(state: SimState, interpret: bool = False,
         state.pos, state.speed, state.active.astype(jnp.float32),
         state.connected.astype(jnp.float32), state.wait, state.depart_t,
         state.head, state.count, state.pending,
-        red, state.breakdown, state.t, pen, u_con, rate,
+        red, state.breakdown, state.t, pen, u_con, rate, noise,
         substeps=SUBSTEPS,
         block=block if block is not None else default_block(),
         interpret=interpret,

@@ -35,6 +35,10 @@ def main() -> None:
                     help="scratch dir for the per-snapshot eval CSVs + "
                          "summary.csv (give concurrent sweeps distinct "
                          "dirs or they clobber each other)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="driver-imperfection accel noise sigma — sweep "
+                         "under the noise protocol (select checkpoints "
+                         "under the protocol they will be deployed on)")
     args = ap.parse_args()
 
     packs = sorted(glob.glob(os.path.join(args.save_dir, "*_model.pack")))
@@ -70,7 +74,7 @@ def main() -> None:
                "-n", str(args.n), "--master-seed", str(args.master_seed),
                "--backend", "native", "--obs-variant", args.obs_variant,
                "-d", pack, "--tag", tag,
-               "-o", args.workdir]
+               "-o", args.workdir, "--noise", str(args.noise)]
         # Force CPU: drop the axon sitecustomize from PYTHONPATH (with it
         # present, even empty JAX_PLATFORMS selects the TPU and the eval
         # would block behind a concurrent training job).

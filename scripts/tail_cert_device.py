@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--master-seed", type=int, default=1042)
     ap.add_argument("--obs-variant", default="hybrid")
     ap.add_argument("--out", default="evaluation/results_tailcert")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="driver-imperfection accel noise sigma (m/s^2); "
+                         "device-sim noise certs are a distinct protocol "
+                         "(BENCHMARKS 'Driver-noise mode') — keep their "
+                         "--out separate from the sigma=0 certs")
     args = ap.parse_args()
 
     import numpy as np
@@ -49,7 +54,18 @@ def main() -> None:
 
     from multimodal_drl_rmc_tpu.envs.baselines import BASELINES
 
-    ev = DeviceEvaluator(n_episodes=args.n, master_seed=args.master_seed)
+    cfg = None
+    if args.noise > 0.0:
+        import dataclasses
+
+        from multimodal_drl_rmc_tpu.config import Config
+
+        cfg = Config()
+        cfg = cfg.replace(env=dataclasses.replace(
+            cfg.env, scenario=dataclasses.replace(
+                cfg.env.scenario, accel_noise_sigma=args.noise)))
+    ev = DeviceEvaluator(cfg=cfg, n_episodes=args.n,
+                         master_seed=args.master_seed)
     # Group same-spec packs so each group is one stacked program; packs of
     # different head types run as separate programs over the SAME episode
     # keys (still paired — the reset keys depend only on master_seed).

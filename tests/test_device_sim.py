@@ -187,8 +187,8 @@ def test_accel_noise_perturbs_seeded_and_bounded():
 
 def test_accel_noise_env_paths_run():
     """Env-level wiring: both the single-env scan path and the batched
-    path honor cfg.scenario.accel_noise_sigma (the batched kernel path
-    falls back to vmapped XLA steps when sigma > 0)."""
+    path honor cfg.scenario.accel_noise_sigma (the noise rides the fused
+    kernel as a pre-drawn input on the Pallas path; XLA otherwise)."""
     noisy = ScenarioConfig(episode_seconds=200.0, accel_noise_sigma=0.1)
     env = DeviceRampEnv(EnvConfig(scenario=noisy), batch=2)
     states, _ = env.reset(jax.random.PRNGKey(0))

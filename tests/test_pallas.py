@@ -235,3 +235,49 @@ def test_batched_env_step_matches_vmapped():
     np.testing.assert_array_equal(np.asarray(ref_done), np.asarray(got_done))
     np.testing.assert_array_equal(np.asarray(ref_states.sim.rng),
                                   np.asarray(got_states.sim.rng))
+
+
+def test_fused_step_full_noise_parity(traffic_states):
+    """Driver-noise mode (accel_noise_sigma > 0): the fused kernel's
+    noise input — pre-drawn outside like the spawn uniforms — makes the
+    Pallas path consume the identical RNG stream as the XLA noise path,
+    so the two stay in lockstep field by field."""
+    sims = jax.tree_util.tree_map(lambda x: x[:2], traffic_states)
+    SIGMA = 0.1
+
+    ref = jax.jit(jax.vmap(lambda s: core.step_1s(s, SIGMA)))(sims)
+
+    orig = core._PALLAS_CHOICE["v"]
+    core._PALLAS_CHOICE["v"] = False  # ref above took the XLA path anyway
+    try:
+        got = jax.jit(lambda s: core.step_1s_batched(
+            s, interpret=True, sigma=SIGMA))(sims)
+    finally:
+        core._PALLAS_CHOICE["v"] = orig
+
+    act = np.asarray(ref.active)
+    for name in core.SimState._fields:
+        r = np.asarray(getattr(ref, name))
+        g = np.asarray(getattr(got, name))
+        if name == "rng":
+            np.testing.assert_array_equal(r, g)
+            continue
+        if r.shape[-1:] == (core.SLOTS,):
+            either = act | np.asarray(got.active)
+            r = np.where(either, r, 0.0)
+            g = np.where(either, g, 0.0)
+        np.testing.assert_allclose(
+            r.astype(np.float64), g.astype(np.float64),
+            rtol=1e-5, atol=1e-3, err_msg=f"field {name}")
+
+
+def test_fused_step_full_noise_perturbs(traffic_states):
+    """sigma > 0 through the kernel actually changes trajectories vs
+    sigma = 0 (the noise input is live, not dropped)."""
+    sims = jax.tree_util.tree_map(lambda x: x[:2], traffic_states)
+    base = jax.jit(lambda s: core.step_1s_batched(s, interpret=True))(sims)
+    noisy = jax.jit(lambda s: core.step_1s_batched(
+        s, interpret=True, sigma=0.1))(sims)
+    both = np.asarray(base.active) & np.asarray(noisy.active)
+    dv = (np.asarray(noisy.speed) - np.asarray(base.speed))[both]
+    assert np.abs(dv).max() > 1e-4
