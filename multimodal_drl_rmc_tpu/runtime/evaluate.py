@@ -62,6 +62,8 @@ def evaluate_strategy(
     pen_rate: float | None = None,
     tag: str = "",
     noise: float = 0.0,
+    guard_occ: float = 0.0,
+    guard_cap: int = 3,
 ) -> pd.DataFrame:
     """``pen_rate`` freezes the CV penetration draw for the detection
     ablation (reference: full detection puts ~all vehicles in the connected
@@ -98,6 +100,7 @@ def evaluate_strategy(
             runner = PolicyRunner(
                 model_path, backend=backend, obs_variant=obs_variant, cfg=cfg,
                 log=True, log_step=1, log_dir=output_dir + "/",
+                guard_occ=guard_occ, guard_cap=guard_cap,
             )
             framework_log = os.path.join(
                 output_dir, model_path.split("/")[-1].split("_model.pack")[0]
@@ -147,6 +150,13 @@ def main(argv=None) -> None:
     parser.add_argument("--noise", type=float, default=0.0,
                         help="driver-imperfection accel noise sigma (m/s^2); "
                              "stress protocol, see BENCHMARKS")
+    parser.add_argument("--guard-occ", type=float, default=0.0,
+                        help="safety envelope: cap greens while the previous "
+                             "cycle's merge occupancy exceeds this percent "
+                             "(0 = off; 17 = ALINEA's occ_crit)")
+    parser.add_argument("--guard-cap", type=int, default=3,
+                        help="max action index while the guard is active "
+                             "(3 = 20 s green)")
     args = parser.parse_args(argv)
     evaluate_strategy(
         args.strategy,
@@ -159,6 +169,8 @@ def main(argv=None) -> None:
         pen_rate=args.pen_rate,
         tag=args.tag,
         noise=args.noise,
+        guard_occ=args.guard_occ,
+        guard_cap=args.guard_cap,
     )
 
 

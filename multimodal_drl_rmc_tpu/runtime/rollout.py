@@ -57,7 +57,8 @@ class PolicyRunner:
     def __init__(self, model_path: str, *, backend: str = "auto",
                  obs_variant: str = "hybrid", cfg: Config | None = None,
                  gui: bool = False, max_steps: int = 0,
-                 log: bool = False, log_step: int = 0, log_dir: str = "./logs/test/"):
+                 log: bool = False, log_step: int = 0, log_dir: str = "./logs/test/",
+                 guard_occ: float = 0.0, guard_cap: int = 3):
         algo, lr = packio.parse_pack_filename(model_path)
         base_cfg = cfg or Config()
         dueling = "Dueling" in algo
@@ -76,16 +77,33 @@ class PolicyRunner:
         self._greedy = jax.jit(greedy_fn(self.net))
         model_pack = model_path.split("/")[-1].split("_model.pack")[0]
         self.log = (log, log_step, log_dir + model_pack)
+        # Safety envelope (off when guard_occ == 0): while the previous
+        # cycle's merge-area occupancy exceeds guard_occ (percent — ALINEA's
+        # occ_crit=17 is the natural setting, envs/baselines.py), cap the
+        # policy's green at action index guard_cap (default 3 = 20 s). A
+        # runtime guard against the razor-edge collapse mode: breakdown
+        # needs SUSTAINED permissive greens at high occupancy, which the
+        # envelope forbids while leaving low-occupancy cycles untouched
+        # (BENCHMARKS "noise stress test").
+        self.guard_occ = float(guard_occ)
+        self.guard_cap = int(guard_cap)
+        self._last_occ = 0.0
 
     def action(self, obs: np.ndarray) -> int:
-        return int(self._greedy(self.params, np.asarray(obs, np.float32)[None])[0])
+        a = int(self._greedy(self.params, np.asarray(obs, np.float32)[None])[0])
+        if self.guard_occ > 0.0 and self._last_occ > self.guard_occ:
+            a = min(a, self.guard_cap)
+        return a
 
     def run_episode(self, seed: int | None = None) -> dict:
         obs, info = self.env.reset(seed=seed)
+        self._last_occ = 0.0
         done = False
         while not done:
             obs, _, terminated, truncated, info = self.env.step(self.action(obs))
             done = terminated or truncated
+            self._last_occ = float(
+                info.get("mainline_occ_mergeArea_percent", 0.0))
             self.inner.log_info_writer(info, done, *self.log)
         return info
 

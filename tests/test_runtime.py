@@ -428,3 +428,36 @@ def test_cli_distributional_flags_reach_network_spec():
     cfg = parse(["-algo", "PerDuelingDoubleDQNAgent", "-n_atoms", "31"])
     spec, _ = spec_for_algo(cfg)
     assert spec.n_atoms == 1
+
+
+def test_policy_runner_guard(tmp_path):
+    """Safety envelope (guard_occ/guard_cap; BENCHMARKS "safety
+    envelope"): while the previous cycle's merge occupancy exceeds the
+    trigger, actions are capped at guard_cap; below it the policy acts
+    unmodified; guard off (0.0) never caps."""
+    cfg = tiny_cfg(tmp_path)
+    learner = make_learner(cfg)
+    import jax
+
+    state = learner.init_state(jax.random.PRNGKey(0))
+    pack = checkpoint.export_pack(cfg, state)
+    runner = PolicyRunner(pack, backend="fake", cfg=cfg,
+                          guard_occ=17.0, guard_cap=3)
+    obs, _ = runner.env.reset(seed=3)
+    runner._greedy = lambda params, o: np.asarray([7])  # force permissive
+    runner._last_occ = 30.0
+    assert runner.action(obs) == 3       # guard binds
+    runner._last_occ = 10.0
+    assert runner.action(obs) == 7       # healthy cycle untouched
+    runner.guard_occ = 0.0
+    runner._last_occ = 30.0
+    assert runner.action(obs) == 7       # guard off
+    runner.close()
+
+    # End-to-end: a guarded episode runs and the guard state resets.
+    runner2 = PolicyRunner(pack, backend="fake", cfg=cfg,
+                           guard_occ=17.0, guard_cap=3)
+    runner2._last_occ = 99.0
+    info = runner2.run_episode(seed=3)
+    assert info["l"] == 5
+    runner2.close()
