@@ -136,10 +136,17 @@ class DeviceEvaluator:
     """
 
     def __init__(self, cfg: Config | None = None, n_episodes: int = 50,
-                 master_seed: int = 42, cycles: int | None = None):
+                 master_seed: int = 42, cycles: int | None = None,
+                 guard_occ: float = 0.0, guard_cap: int = 3):
         self.base_cfg = cfg or Config()
         self.E = int(n_episodes)
         self.master_seed = int(master_seed)
+        # Safety envelope, mirroring runtime/rollout.py PolicyRunner: while
+        # the PREVIOUS cycle's merge occupancy exceeds guard_occ percent,
+        # cap actions at guard_cap (0.0 = off; BENCHMARKS "safety
+        # envelope").
+        self.guard_occ = float(guard_occ)
+        self.guard_cap = int(guard_cap)
         env_cfg = self.base_cfg.env
         self.cycles = int(cycles if cycles is not None
                           else env_cfg.scenario.episode_seconds
@@ -174,7 +181,7 @@ class DeviceEvaluator:
         return E
 
     def _rollout_fn(self, net, S: int):
-        key = (id(type(net)), net.spec, S)
+        key = (id(type(net)), net.spec, S, self.guard_occ, self.guard_cap)
         if key in self._rollouts:
             return self._rollouts[key]
         E = self._padded_E(S)
@@ -182,15 +189,20 @@ class DeviceEvaluator:
             self._envs[S * E] = DeviceRampEnv(self.env_cfg, S * E)
         env = self._envs[S * E]
         greedy = _greedy_for(net)
+        guard_occ, guard_cap = self.guard_occ, self.guard_cap
 
         def rollout(params_stacked, reset_keys):
             states = env._reset(reset_keys)
             obs = env._obs(states)
+            occ_prev = jnp.zeros((S * E,), jnp.float32)
 
             def body(carry, _):
-                states, obs = carry
+                states, obs, occ_prev = carry
                 acts = jax.vmap(greedy)(
                     params_stacked, obs.reshape(S, E, -1)).reshape(S * E)
+                if guard_occ > 0.0:
+                    acts = jnp.where(occ_prev > guard_occ,
+                                     jnp.minimum(acts, guard_cap), acts)
                 states, (_of, obs_next, rew, _done, m) = env.step(states, acts)
                 series = (m.ramp_queue_veh,
                           m.flow_upstream_vph, m.occ_upstream,
@@ -199,10 +211,10 @@ class DeviceEvaluator:
                           m.speed_bottleneck,
                           m.flow_downstream_vph, m.occ_downstream,
                           m.speed_downstream)
-                return (states, obs_next), series
+                return (states, obs_next, m.occ_bottleneck), series
 
-            (states, _), series = jax.lax.scan(
-                body, (states, obs), None, length=self.cycles)
+            (states, _, _), series = jax.lax.scan(
+                body, (states, obs, occ_prev), None, length=self.cycles)
             return states, series
 
         fn = jax.jit(rollout)

@@ -41,6 +41,10 @@ def main() -> None:
                          "device-sim noise certs are a distinct protocol "
                          "(BENCHMARKS 'Driver-noise mode') — keep their "
                          "--out separate from the sigma=0 certs")
+    ap.add_argument("--guard-occ", type=float, default=0.0,
+                    help="safety envelope trigger (percent occupancy; "
+                         "0 = off) — mirrors evaluate.py --guard-occ")
+    ap.add_argument("--guard-cap", type=int, default=3)
     args = ap.parse_args()
 
     import numpy as np
@@ -65,7 +69,8 @@ def main() -> None:
             cfg.env, scenario=dataclasses.replace(
                 cfg.env.scenario, accel_noise_sigma=args.noise)))
     ev = DeviceEvaluator(cfg=cfg, n_episodes=args.n,
-                         master_seed=args.master_seed)
+                         master_seed=args.master_seed,
+                         guard_occ=args.guard_occ, guard_cap=args.guard_cap)
     # Group same-spec packs so each group is one stacked program; packs of
     # different head types run as separate programs over the SAME episode
     # keys (still paired — the reset keys depend only on master_seed).
