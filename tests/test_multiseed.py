@@ -83,6 +83,33 @@ def test_multiseed_warm_phase_bit_matches_solo(tmp_path, algo):
     assert not np.array_equal(np.asarray(cm.obs[:B]), np.asarray(cm.obs[B:]))
 
 
+def test_multiseed_noise_mode_bit_matches_solo(tmp_path):
+    """Driver-noise mode (accel_noise_sigma > 0) composes with the vmapped
+    multi-seed trainer with NO extra plumbing: the noise is drawn per env
+    from each env's own RNG stream (sim/core.py step_1s_batched splits
+    state.rng per row), so seed k's rows of the flat K*B batch see the
+    same draws as a solo DeviceTrainer. Pins that noise-robust seed
+    sweeps (scripts/run_noise_robust*.sh) can be batched K-at-a-time."""
+    B, seeds = 4, [5, 9]
+    cfg = _cfg(tmp_path)
+    cfg = cfg.replace(env=EnvConfig(scenario=ScenarioConfig(
+        episode_seconds=120.0, accel_noise_sigma=0.1)))
+    multi = MultiSeedTrainer(cfg, seeds, batch=B, replay_ratio=1.0)
+    cm = multi._warm_chunk(multi._fresh_carry(), 2, False)
+    for k, s in enumerate(seeds):
+        solo = DeviceTrainer(cfg, batch=B, seed=s, replay_ratio=1.0)
+        cs = solo._warm_chunk(solo._fresh_carry(), 2, False)
+        np.testing.assert_array_equal(
+            np.asarray(cm.obs[k * B:(k + 1) * B]), np.asarray(cs.obs))
+        np.testing.assert_array_equal(np.asarray(cm.ep_ret[k * B:(k + 1) * B]),
+                                      np.asarray(cs.ep_ret))
+    # And the noise genuinely perturbs the trajectory vs sigma=0.
+    clean = MultiSeedTrainer(_cfg(tmp_path / "clean"), seeds, batch=B,
+                             replay_ratio=1.0)
+    cc = clean._warm_chunk(clean._fresh_carry(), 2, False)
+    assert not np.array_equal(np.asarray(cm.obs), np.asarray(cc.obs))
+
+
 @pytest.mark.slow
 def test_multiseed_learning_step_matches_solo(tmp_path, monkeypatch):
     """One learning superstep (k_updates vmapped train_many) from identical
