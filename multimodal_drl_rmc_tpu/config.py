@@ -123,6 +123,17 @@ class EnvConfig:
     max_flow_downstream_vph: float = 5760.0
     max_occupancy_percent: float = 100.0
 
+    # Env-side safety envelope (0.0 = off). While the PREVIOUS control
+    # cycle's merge-area occupancy exceeds guard_occ percent, the env caps
+    # the applied green at action index guard_cap before mapping it to a
+    # phase plan. Training-time twin of the runtime guard in
+    # runtime/rollout.py PolicyRunner (BENCHMARKS "safety envelope"):
+    # enabling it during training makes the envelope part of the MDP the
+    # policy learns, instead of a deployment patch. First post-reset action
+    # is always unguarded (matches PolicyRunner's _last_occ = 0 reset).
+    guard_occ: float = 0.0
+    guard_cap: int = 3
+
     # Reward weights (reference rl_controller.py:388-425).
     w_speed_merge: float = 1.5
     w_speed_up: float = 1.0

@@ -70,6 +70,7 @@ class RampMeterEnv:
 
         self.last_action_value_sec = float(self.green_time_actions_sec[0])
         self.m = CycleMetrics()
+        self._guard_occ_prev = 0.0  # previous CONTROL cycle's merge occ
         self._sum_queue = 0.0
         self._last_info: dict = {}
         self._ep_count = 0
@@ -106,6 +107,7 @@ class RampMeterEnv:
         self.backend.reset(seed)
         self._ep_count += 1
         self._sum_queue = 0.0
+        self._guard_occ_prev = 0.0
         self.last_action_value_sec = float(self.green_time_actions_sec[0])
         self.backend.set_phase(RED_PHASE)
         self.backend.set_phase_duration(self.cfg.cycle_seconds)
@@ -123,6 +125,13 @@ class RampMeterEnv:
 
     def step(self, action_index: int):
         action_index = int(np.clip(action_index, 0, self.action_space_n - 1))
+        # Env-side safety envelope (EnvConfig.guard_occ; 0 = off): cap the
+        # green at guard_cap while the previous cycle's merge occupancy is
+        # above guard_occ percent. Same trigger/clamp as PolicyRunner's
+        # runtime guard (runtime/rollout.py:92-96) so a policy can be
+        # TRAINED under the envelope it will deploy with.
+        if self.cfg.guard_occ > 0.0 and self._guard_occ_prev > self.cfg.guard_occ:
+            action_index = min(action_index, int(self.cfg.guard_cap))
         green_sec = float(self.green_time_actions_sec[action_index])
         self.last_action_value_sec = green_sec
         red_sec = max(0.0, self.cfg.cycle_seconds - green_sec)
@@ -133,6 +142,7 @@ class RampMeterEnv:
         self._run_phase(RED_PHASE, red_sec, dt)
 
         self._collect_cycle_metrics()
+        self._guard_occ_prev = float(self.m.occ_bottleneck)
         obs = self.obs()
         reward = self.rew()
         terminated = self.done()

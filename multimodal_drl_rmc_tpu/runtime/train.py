@@ -40,6 +40,10 @@ def build_config(args) -> Config:
         env = dataclasses.replace(
             env, scenario=dataclasses.replace(
                 env.scenario, accel_noise_sigma=noise))
+    guard = float(getattr(args, "guard_occ", 0.0) or 0.0)
+    if guard > 0.0:
+        env = dataclasses.replace(
+            env, guard_occ=guard, guard_cap=int(getattr(args, "guard_cap", 1)))
     hp = HyperParams(
         n_env=max(1, args.n_env), lr=args.lr, gamma=args.gamma,
         eps_start=args.eps_start, eps_min=args.eps_min, eps_dec=args.eps_dec,
@@ -342,6 +346,17 @@ def add_common_args(parser: argparse.ArgumentParser, hp: HyperParams) -> None:
                              "padded per 1M-transition seed in HBM — bf16 "
                              "halves that, which is what lets -seeds K=4 "
                              "fit a 16 GB v5e at full capacity.")
+    parser.add_argument("-guard_occ", type=float, default=0.0,
+                        help="env-side safety envelope during TRAINING "
+                             "(EnvConfig.guard_occ; 0 = off): cap greens at "
+                             "action index -guard_cap while last-cycle merge "
+                             "occupancy > this percent. Same trigger/clamp "
+                             "as evaluate.py --guard-occ, but in the loop — "
+                             "the policy learns the guarded MDP.")
+    parser.add_argument("-guard_cap", type=int, default=1,
+                        help="action-index cap while the training guard is "
+                             "active (1 = 10 s green, matching the deployed "
+                             "guard(20, cap 1) recommendation)")
     parser.add_argument("-profile", type=str, default="",
                         help="write a jax.profiler trace (xprof) to this dir")
     # Distributional-head hyperparameters (C51/QR agents only; ignored by

@@ -119,6 +119,12 @@ class MultiSeedTrainer:
         n_step = cfg.hp.n_step
         gamma = cfg.hp.gamma
         D = env.obs_size
+        # Env-side safety envelope — same clamp as DeviceTrainer.one_iter
+        # (obs feature 4 = prev cycle's normalized merge occ) so stacked
+        # guard-trained seeds stay bit-identical to solo runs.
+        guard_thr = (cfg.env.guard_occ / cfg.env.max_occupancy_percent
+                     if cfg.env.guard_occ > 0.0 else 0.0)
+        guard_cap = int(cfg.env.guard_cap)
 
         def one_iter(carry: MultiCarry, random_actions: bool,
                      learn: bool = True):
@@ -131,6 +137,10 @@ class MultiSeedTrainer:
             else:
                 actions = jax.vmap(learner.select_actions)(
                     carry.train_state, carry.obs.reshape(K, B, D), r_act)
+            if guard_thr > 0.0:
+                occ_prev = carry.obs[:, 4].reshape(K, B)
+                actions = jnp.where(occ_prev > guard_thr,
+                                    jnp.minimum(actions, guard_cap), actions)
             env_states, (obs_final, obs_next, rew, done, _m) = env.step(
                 carry.env_states, actions.reshape(K * B))
             done_f = done.astype(jnp.float32)

@@ -74,6 +74,14 @@ class DeviceTrainer:
         k_updates = self.k_updates
         n_step = cfg.hp.n_step
         gamma = cfg.hp.gamma
+        # Env-side safety envelope (EnvConfig.guard_occ; 0 = off): obs
+        # feature 4 IS the previous cycle's merge occupancy normalized by
+        # max_occupancy_percent (sim/env.py macro_state — shared base
+        # layout across all obs variants), so the guard threshold needs no
+        # extra carry state and full checkpoints stay format-compatible.
+        guard_thr = (cfg.env.guard_occ / cfg.env.max_occupancy_percent
+                     if cfg.env.guard_occ > 0.0 else 0.0)
+        guard_cap = int(cfg.env.guard_cap)
 
         def one_iter(carry: Carry, random_actions: bool,
                      learn: bool = True) -> tuple[Carry, dict]:
@@ -82,6 +90,12 @@ class DeviceTrainer:
                 actions = jax.random.randint(r_act, (B,), 0, env.n_actions)
             else:
                 actions = learner.select_actions(carry.train_state, carry.obs, r_act)
+            if guard_thr > 0.0:
+                # Clamp what the env EXECUTES (and what replay stores):
+                # guard-in-the-loop training learns Q-values of the guarded
+                # MDP, not the raw one (VERDICT r4 #3).
+                actions = jnp.where(carry.obs[:, 4] > guard_thr,
+                                    jnp.minimum(actions, guard_cap), actions)
             env_states, (obs_final, obs_next, rew, done, _m) = env.step(
                 carry.env_states, actions)
             done_f = done.astype(jnp.float32)

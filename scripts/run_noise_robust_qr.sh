@@ -42,6 +42,7 @@ g = t[t["worst"] <= floor + 10.0]
 print(g.loc[g["delay"].idxmin(), "pack"])
 PY
 )
+[ -n "$PICK" ] && [ -f "$SAVE/$PICK" ] || { echo "no pick (sweep failed?)"; exit 1; }
 echo "noise-protocol pick: $PICK"
 
 export JAX_PLATFORMS='' PYTHONPATH=''
@@ -54,11 +55,13 @@ run_cell () {  # run_cell <tag> <outdir> [extra evaluate.py args...]
     > "logs/eval_$tag.log" 2>&1
 }
 # Guarded 4-protocol matrix (the universal-controller table rows).
-run_cell NoiseRobustQrS2Guard        evaluation/results          --guard-occ 20 --guard-cap 1
-run_cell NoiseRobustQrS2GuardHold    evaluation/results_holdout  --guard-occ 20 --guard-cap 1 --master-seed 142
-run_cell NoiseRobustQrS2GuardNoise   evaluation/results_noise    --guard-occ 20 --guard-cap 1 --noise 0.1
-run_cell NoiseRobustQrS2GuardNoiseHold evaluation/results_noise  --guard-occ 20 --guard-cap 1 --noise 0.1 --master-seed 142
-# Unguarded reference cells (tail exposure of the raw policy).
+run_cell NoiseRobustQrS2Guard        evaluation/results                 --guard-occ 20 --guard-cap 1
+run_cell NoiseRobustQrS2GuardHold    evaluation/results_holdout         --guard-occ 20 --guard-cap 1 --master-seed 142
+run_cell NoiseRobustQrS2GuardNoise   evaluation/results_noise           --guard-occ 20 --guard-cap 1 --noise 0.1
+run_cell NoiseRobustQrS2GuardNoiseHold evaluation/results_holdout_noise --guard-occ 20 --guard-cap 1 --noise 0.1 --master-seed 142
+# Unguarded 4-protocol cells (tail exposure of the raw policy).
 run_cell NoiseRobustQrS2             evaluation/results
-run_cell NoiseRobustQrS2Noise01      evaluation/results_noise    --noise 0.1
+run_cell NoiseRobustQrS2Hold         evaluation/results_holdout         --master-seed 142
+run_cell NoiseRobustQrS2Noise01      evaluation/results_noise           --noise 0.1
+run_cell NoiseRobustQrS2NoiseHold    evaluation/results_holdout_noise   --noise 0.1 --master-seed 142
 echo "NOISE ROBUST QR PIPELINE DONE $(date)"
