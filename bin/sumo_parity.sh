@@ -9,7 +9,8 @@
 #   1. locate SUMO (or build it via WITH_SUMO=1 bin/setup.sh);
 #   2. run the SUMO-facing test subset against the real install;
 #   3. real-SUMO evaluate.py episodes for FixedCycle + the recommended
-#      production agent (NoisyIqn s2), writing results_*.csv;
+#      production agent (noise-trained NoisyIqn s2 2M + guard(20, 10 s) —
+#      BENCHMARKS "safety envelope"), writing results_*.csv;
 #   4. the same episodes on the native C++ backend, then a schema +
 #      sanity diff of the merged rows (columns must match exactly; the
 #      delay band should be within a plausible fidelity gap).
@@ -26,7 +27,11 @@ cd "$(dirname "$0")/.."
 N=5
 while getopts "n:" opt; do case $opt in n) N=$OPTARG;; *) exit 2;; esac; done
 
-PACK=save/1ramp_1x3/NoisyIqnDuelingDQNAgent_lr5e-05_model.pack
+# Deploy pick per BENCHMARKS "safety envelope" (round 4/5): the
+# noise-trained NoisyIqn s2 2M snapshot, run WITH the runtime guard
+# (occ 20% / cap 10 s) — the universal controller (7/7 replication).
+PACK=save/noise_robust/s2/NoisyIqnDuelingDQNAgent_lr5e-05_step2000k_model.pack
+GUARD=(--guard-occ 20 --guard-cap 1)
 OUT_SUMO=evaluation/results_sumo_parity/sumo
 OUT_NATIVE=evaluation/results_sumo_parity/native
 mkdir -p "$OUT_SUMO" "$OUT_NATIVE"
@@ -64,12 +69,12 @@ NETPY
 # --- 3. real-SUMO evaluation --------------------------------------------------
 echo "[sumo_parity] evaluating FixedCycle + recommended agent on SUMO (n=$N)"
 python evaluate.py -s FixedCycleBaseline -n "$N" --backend sumo -o "$OUT_SUMO"
-python evaluate.py -s DQNAgent -d "$PACK" -n "$N" --backend sumo -o "$OUT_SUMO"
+python evaluate.py -s DQNAgent -d "$PACK" "${GUARD[@]}" -n "$N" --backend sumo -o "$OUT_SUMO"
 
 # --- 4. native twin + schema diff -------------------------------------------
 echo "[sumo_parity] evaluating the same episodes on the native C++ backend"
 python evaluate.py -s FixedCycleBaseline -n "$N" --backend native -o "$OUT_NATIVE"
-python evaluate.py -s DQNAgent -d "$PACK" -n "$N" --backend native -o "$OUT_NATIVE"
+python evaluate.py -s DQNAgent -d "$PACK" "${GUARD[@]}" -n "$N" --backend native -o "$OUT_NATIVE"
 
 python - "$OUT_SUMO" "$OUT_NATIVE" <<'PY'
 import glob, os, sys
