@@ -17,11 +17,26 @@ In-sample cases (round 3) and out-of-sample cases (r4a/r4b fresh
 seeds) should be passed with different --case prefixes ('is:'/'oos:')
 so the table separates them.
 
+Screen v2 (round 5, VERDICT #2): an optional 5th field per case names a
+HELD-OUT screen window (20 episodes on seeds 142+ at the screen
+snapshot, `evaluation/results_screen_holdout/`). Retro-validation on
+the 8 testable screen-positives showed the window separates the
+touched-and-degenerate false positives — all 3 FPs (NoisyIqn s6/s7,
+NoisyQr s13) collapse in it (1-2 episodes >60 s/veh) while 4/5 true
+positives are clean — but one TRUE positive (NoisyQr s10, final 29.44)
+also collapses there, so a hard cat==0 gate trades recall 6/6 -> 5/6
+for precision 5/5. Since a lost ~29 seed costs far more than an FP's
+~18-min continuation, v2 keeps the v1 criterion as the CONTINUE gate
+and uses the held-out window as a deployability TIER: clean-positive
+(holdout cat==0; 4/4 reached the ~29 tier) continues with priority;
+razor-positive (holdout cat>0; 1/4) continues only when chip budget
+allows, and its final pick must clear the full 50-episode held-out
+tail protocol before deployment regardless of tier.
+
 Usage:
   python scripts/early_screen.py \
-      --case is:NoisyQrS2:logs/rainbow/noisyqr_s2/sweep_summary.csv:evaluation/results/results_DQNAgentNoisyQrS2.csv \
-      --case oos:NoisyQrS7:logs/rainbow/ms_probe/s7/sweep_summary.csv:evaluation/results/results_DQNAgentNoisyQrS7.csv \
-      [--cutoff 500000] [--thresh 30] [--tier-edge 29.7]
+      --case is:NoisyQrS2:logs/rainbow/noisyqr_s2/sweep_summary.csv:evaluation/results/results_DQNAgentNoisyQrS2.csv[:evaluation/results_screen_holdout/results_DQNAgentScreenQrS2.csv] \
+      [--cutoff 500000] [--thresh 30] [--tier-edge 29.7] [--cat 60]
 """
 
 import argparse
@@ -48,6 +63,14 @@ def final_mean(path):
     return sum(vals) / len(vals), len(vals)
 
 
+def holdout_stats(path, cat_thresh):
+    """(mean, worst, catastrophic count) over a held-out screen window."""
+    with open(path) as f:
+        vals = [float(r["avg_time_loss"]) for r in csv.DictReader(f)]
+    return (sum(vals) / len(vals), max(vals),
+            sum(1 for v in vals if v > cat_thresh))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", action="append", required=True,
@@ -57,18 +80,25 @@ def main():
     ap.add_argument("--tier-edge", type=float, default=29.7,
                     help="50-ep mean below this counts as the ~29 tier "
                          "(the observed gap is 29.02-29.34 vs 30.01+)")
+    ap.add_argument("--cat", type=float, default=60.0,
+                    help="held-out screen-window episodes above this are "
+                         "catastrophic (razor tier)")
     args = ap.parse_args()
 
     print(f"screen: min 20-ep sweep delay over snapshots <= "
           f"{args.cutoff:,.0f} steps < {args.thresh}; "
           f"outcome: 50-ep mean < {args.tier_edge}\n")
     header = (f"{'group':<4} {'seed':<12} {'min<=cut':>9} {'@step':>8} "
-              f"{'grid':>4} {'screen':>7} {'final':>7} {'tier29':>7} {'ok':>3}")
+              f"{'grid':>4} {'screen':>7} {'final':>7} {'tier29':>7} {'ok':>3}"
+              f" {'ho-cat':>6} {'v2tier':>7}")
     print(header)
     print("-" * len(header))
     confusion = {}
+    v2 = {}   # tier -> [reached ~29, did not]
     for c in args.case:
-        group, label, sweep, results = c.split(":")
+        parts = c.split(":")
+        group, label, sweep, results = parts[:4]
+        holdout = parts[4] if len(parts) > 4 else None
         mind, atstep, ngrid = sweep_min_below_cutoff(sweep, args.cutoff)
         fin, n = final_mean(results)
         pred = mind is not None and mind < args.thresh
@@ -78,14 +108,33 @@ def main():
         # [TP, FP, FN, TN]
         idx = (0 if actual else 1) if pred else (2 if actual else 3)
         confusion[group][idx] += 1
+        hocat, tier = "", ""
+        if holdout is not None and pred:
+            _, _, ncat = holdout_stats(holdout, args.cat)
+            hocat = str(ncat)
+            tier = "clean" if ncat == 0 else "razor"
+            v2.setdefault(tier, [0, 0])
+            v2[tier][0 if actual else 1] += 1
         print(f"{group:<4} {label:<12} {mind:>9.2f} {atstep:>8,} "
               f"{ngrid:>4} {str(pred):>7} {fin:>7.2f} {str(actual):>7} "
-              f"{'y' if ok else 'N':>3}")
+              f"{'y' if ok else 'N':>3} {hocat:>6} {tier:>7}")
     print()
     for g, (tp, fp, fn, tn) in confusion.items():
         n = tp + fp + fn + tn
         print(f"[{g}] n={n} TP={tp} FP={fp} FN={fn} TN={tn} "
               f"accuracy={(tp + tn) / n:.2f}")
+    if v2:
+        print("\nv2 deployability tiers over screen-positives with a "
+              "held-out window:")
+        for tier in ("clean", "razor"):
+            if tier in v2:
+                hit, miss = v2[tier]
+                print(f"  {tier}-positive: {hit}/{hit + miss} reached the "
+                      f"~29 tier")
+        print("  (v2 keeps the v1 continue gate — a hard holdout-cat==0 "
+              "gate would score precision "
+              f"{v2.get('clean', [0, 0])[0]}/{sum(v2.get('clean', [0, 0]))} "
+              "but lose recall on razor true positives)")
 
 
 if __name__ == "__main__":
