@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import guard
 from ..config import EnvConfig
 from .backend import (
     GREEN_PHASE,
@@ -127,11 +128,11 @@ class RampMeterEnv:
         action_index = int(np.clip(action_index, 0, self.action_space_n - 1))
         # Env-side safety envelope (EnvConfig.guard_occ; 0 = off): cap the
         # green at guard_cap while the previous cycle's merge occupancy is
-        # above guard_occ percent. Same trigger/clamp as PolicyRunner's
-        # runtime guard (runtime/rollout.py:92-96) so a policy can be
-        # TRAINED under the envelope it will deploy with.
-        if self.cfg.guard_occ > 0.0 and self._guard_occ_prev > self.cfg.guard_occ:
-            action_index = min(action_index, int(self.cfg.guard_cap))
+        # above guard_occ percent — the shared rule (guard.clamp), so a
+        # policy can be TRAINED under the exact envelope it deploys with.
+        action_index = int(guard.clamp(action_index, self._guard_occ_prev,
+                                       self.cfg.guard_occ,
+                                       int(self.cfg.guard_cap)))
         green_sec = float(self.green_time_actions_sec[action_index])
         self.last_action_value_sec = green_sec
         red_sec = max(0.0, self.cfg.cycle_seconds - green_sec)

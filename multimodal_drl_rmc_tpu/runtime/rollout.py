@@ -15,6 +15,7 @@ import numpy as np
 from ..config import Config, EnvConfig, network_spec_for_variant
 from ..envs import GymEnvWrapper, RampEnv
 from ..envs.wrapper import MaxEpisodeStepsWrapper
+from .. import guard
 from ..models import packio
 from ..models.networks import build_network, greedy_fn
 
@@ -91,9 +92,8 @@ class PolicyRunner:
 
     def action(self, obs: np.ndarray) -> int:
         a = int(self._greedy(self.params, np.asarray(obs, np.float32)[None])[0])
-        if self.guard_occ > 0.0 and self._last_occ > self.guard_occ:
-            a = min(a, self.guard_cap)
-        return a
+        return int(guard.clamp(a, self._last_occ, self.guard_occ,
+                               self.guard_cap))
 
     def run_episode(self, seed: int | None = None) -> dict:
         obs, info = self.env.reset(seed=seed)

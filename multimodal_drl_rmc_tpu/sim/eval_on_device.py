@@ -44,6 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import guard
 from ..config import Config, EnvConfig
 from ..models import packio
 from ..models.networks import DuelingQNetwork, build_network
@@ -200,9 +201,7 @@ class DeviceEvaluator:
                 states, obs, occ_prev = carry
                 acts = jax.vmap(greedy)(
                     params_stacked, obs.reshape(S, E, -1)).reshape(S * E)
-                if guard_occ > 0.0:
-                    acts = jnp.where(occ_prev > guard_occ,
-                                     jnp.minimum(acts, guard_cap), acts)
+                acts = guard.clamp(acts, occ_prev, guard_occ, guard_cap)
                 states, (_of, obs_next, rew, _done, m) = env.step(states, acts)
                 series = (m.ramp_queue_veh,
                           m.flow_upstream_vph, m.occ_upstream,

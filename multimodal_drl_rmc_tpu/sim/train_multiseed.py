@@ -44,6 +44,7 @@ from ..agents.dqn import make_learner
 from ..config import Config
 from ..ops.losses import Batch
 from ..ops.nstep import nstep_window_reduce
+from .. import guard
 from ..runtime import checkpoint
 from ..runtime.metrics import MetricsWriter
 from .env import DeviceRampEnv
@@ -137,10 +138,8 @@ class MultiSeedTrainer:
             else:
                 actions = jax.vmap(learner.select_actions)(
                     carry.train_state, carry.obs.reshape(K, B, D), r_act)
-            if guard_thr > 0.0:
-                occ_prev = carry.obs[:, 4].reshape(K, B)
-                actions = jnp.where(occ_prev > guard_thr,
-                                    jnp.minimum(actions, guard_cap), actions)
+            actions = guard.clamp(actions, carry.obs[:, 4].reshape(K, B),
+                                  guard_thr, guard_cap)
             env_states, (obs_final, obs_next, rew, done, _m) = env.step(
                 carry.env_states, actions.reshape(K * B))
             done_f = done.astype(jnp.float32)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..agents.dqn import make_learner
 from ..config import Config
 from ..ops.losses import Batch
+from .. import guard
 from ..ops.nstep import nstep_window_reduce
 from ..runtime import checkpoint
 from ..runtime.metrics import MetricsWriter
@@ -90,12 +91,12 @@ class DeviceTrainer:
                 actions = jax.random.randint(r_act, (B,), 0, env.n_actions)
             else:
                 actions = learner.select_actions(carry.train_state, carry.obs, r_act)
-            if guard_thr > 0.0:
-                # Clamp what the env EXECUTES (and what replay stores):
-                # guard-in-the-loop training learns Q-values of the guarded
-                # MDP, not the raw one (VERDICT r4 #3).
-                actions = jnp.where(carry.obs[:, 4] > guard_thr,
-                                    jnp.minimum(actions, guard_cap), actions)
+            # Clamp what the env EXECUTES (and what replay stores):
+            # guard-in-the-loop training learns Q-values of the guarded
+            # MDP, not the raw one (VERDICT r4 #3). guard.clamp is a no-op
+            # (Python branch) when guard_thr <= 0.
+            actions = guard.clamp(actions, carry.obs[:, 4], guard_thr,
+                                  guard_cap)
             env_states, (obs_final, obs_next, rew, done, _m) = env.step(
                 carry.env_states, actions)
             done_f = done.astype(jnp.float32)
