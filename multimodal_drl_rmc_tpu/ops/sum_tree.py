@@ -180,6 +180,40 @@ def _chunk_size(capacity: int) -> int:
     return min(1024, capacity)
 
 
+# Upper-triangular ones (inclusive prefix-sum operators), cached per K.
+_TRIU: dict[int, "object"] = {}  # numpy [K,K] upper-triangular ones
+
+
+def _row_prefix_sum(rows: jax.Array) -> jax.Array:
+    """Inclusive prefix sum over the minor axis via the MXU.
+
+    ``jnp.cumsum`` over a [B, K] lane axis is the PER sampler's hot spot
+    on TPU (~46 of the ~78 us/step prioritized-superstep residual,
+    scripts/profile_per_sample.py); ``rows @ triu_ones`` does the same
+    reduction as one [B,K]x[K,K] matmul in ~13.5 us
+    (scripts/profile_cumsum_variants.py). f32 HIGHEST precision keeps
+    integer-valued priorities bit-exact (tests/test_chunked_tree.py heap
+    parity) and real priorities within an f32 ulp — and the sampler's
+    correctness never depends on the prefix values themselves, only on
+    internal consistency: the in-chunk target is clamped to THIS array's
+    last entry, and zero (empty-slot) tail entries contribute exactly 0
+    in every precision mode, so the clamp still lands on a written leaf
+    (cf. test_partial_fill_never_samples_empty_slots).
+    """
+    k = rows.shape[-1]
+    tri = _TRIU.get(k)
+    if tri is None:
+        # numpy, not jnp: a jnp constant built during a trace would be a
+        # tracer, and caching it across traces leaks it.
+        import numpy as np
+
+        tri = _TRIU[k] = np.triu(np.ones((k, k), np.float32))
+    return jax.lax.dot_general(
+        rows, tri, (((rows.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
 class ChunkedTreeState(NamedTuple):
     priority: jax.Array    # [C]  f32 leaf priorities (0 = empty slot)
     chunk_sum: jax.Array   # [M]  f32 per-chunk priority sums
@@ -283,7 +317,7 @@ def _chunked_sample(
     v_in = v - base
 
     rows = state.priority.reshape(m, k)[chunk]                # [B, K]
-    rcum = jnp.cumsum(rows, axis=1)                           # [B, K]
+    rcum = _row_prefix_sum(rows)                              # [B, K] (MXU)
     # Same ulp hazard within the chunk: v_in is bounded by the STORED
     # chunk_sum, which can exceed this row cumsum's last entry; clamp so
     # equality selects the first leaf reaching the total (a written one).
