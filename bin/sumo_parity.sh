@@ -29,7 +29,7 @@ while getopts "n:" opt; do case $opt in n) N=$OPTARG;; *) exit 2;; esac; done
 
 # Deploy pick per BENCHMARKS "safety envelope" (round 4/5): the
 # noise-trained NoisyIqn s2 2M snapshot, run WITH the runtime guard
-# (occ 20% / cap 10 s) — the universal controller (7/7 replication).
+# (occ 20% / cap 10 s) — the universal controller (11 noise-trained runs / 2 heads, 0 cat in 2,200 guarded evals).
 PACK=save/noise_robust/s2/NoisyIqnDuelingDQNAgent_lr5e-05_step2000k_model.pack
 GUARD=(--guard-occ 20 --guard-cap 1)
 OUT_SUMO=evaluation/results_sumo_parity/sumo
