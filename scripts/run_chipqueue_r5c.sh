@@ -116,4 +116,4 @@ PY
     done
   done
 fi
-echo "CHIPQUEUE R5B DONE $(date)"
+echo "CHIPQUEUE R5C DONE $(date)"
